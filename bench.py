@@ -1,0 +1,79 @@
+"""Benchmark: 64px text-to-image sampling throughput, DDIM-50, bf16.
+
+Matches the reference demo preset for 64px (batch 64 @ 50 DDIM steps,
+generate_sample.py:546-552) on the flagship cc12m_64x64 architecture with
+the whole denoise loop compiled into one lax.scan program.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "samples/sec/chip", "vs_baseline": N}
+
+vs_baseline is relative to A100_TORCH_EST below — an engineering estimate
+of the torch reference on one A100 for the same preset (the reference
+repo publishes no numbers, BASELINE.md). >1.0 means faster than that
+estimate.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+A100_TORCH_EST = 10.0  # samples/sec, torch ref 64px DDIM-50 bs64 (estimate)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship_64px
+
+    pipeline, lm_dim, side = _flagship_64px(scaled=False)
+    key = jax.random.PRNGKey(0)
+    params = pipeline.init_params(
+        key, image_side=side, lm_dim=lm_dim, seq_len=32
+    )
+    params = jax.tree_util.tree_map(
+        lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p,
+        params,
+    )
+
+    batch = 64
+    steps = 50
+    lm = jax.random.normal(
+        jax.random.PRNGKey(1), (batch, 32, lm_dim), jnp.bfloat16
+    )
+    mask = jnp.ones((batch, 32), jnp.bfloat16)
+    sample = {"lm_outputs": lm, "lm_mask": mask}
+
+    def run(k):
+        return pipeline.sample(
+            params, batch, sample, side, k,
+            num_inference_steps=steps, resample_steps=True, ddim_eta=0.0,
+        )
+
+    run_jit = jax.jit(run)
+    # warmup/compile
+    out = run_jit(jax.random.PRNGKey(2))
+    out.block_until_ready()
+
+    n_iters = 3
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        out = run_jit(jax.random.PRNGKey(3 + i))
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / n_iters
+
+    samples_per_sec = batch / dt
+    print(
+        json.dumps(
+            {
+                "metric": "64px samples/sec/chip (DDIM-50, bs64, bf16)",
+                "value": round(samples_per_sec, 3),
+                "unit": "samples/sec/chip",
+                "vs_baseline": round(samples_per_sec / A100_TORCH_EST, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,142 @@
+"""Attention kernels.
+
+The numerics follow the reference attention (unet.py:276-294): the scale
+1/sqrt(sqrt(d)) is applied to BOTH q and k before the logits einsum (better
+bf16 stability than scaling the product), softmax runs in fp32, and masked
+key positions get -inf logits.
+
+Two execution paths share this contract:
+
+- ``dot_product_attention``: plain einsum form. XLA fuses this well on TPU
+  for the sequence lengths this model sees (<= 4096 spatial tokens).
+- ``flash_attention``: a Pallas TPU kernel (blocked online-softmax) for the
+  hot self-attention at 32x32/16x16 resolutions. Selected via
+  ``use_flash(True)`` or the ML_MDM_TPU_FLASH env var; falls back to the
+  einsum path off-TPU.
+"""
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_USE_FLASH = os.environ.get("ML_MDM_TPU_FLASH", "0") == "1"
+
+
+def use_flash(enabled: bool):
+    global _USE_FLASH
+    _USE_FLASH = enabled
+
+
+def _einsum_attention(q, k, v, mask=None):
+    """q: (B, Lq, H, D), k/v: (B, Lk, H, D), mask: (B, Lk) or None."""
+    d = q.shape[-1]
+    scale = 1.0 / (d ** 0.25)
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q * scale, k * scale,
+        preferred_element_type=jnp.float32,
+    )
+    if mask is not None:
+        m = mask[:, None, None, :]
+        logits = jnp.where(m == 0, -jnp.inf, logits)
+    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(
+        v.dtype
+    )
+    return jnp.einsum("bhqk,bkhd->bqhd", weights, v)
+
+
+def dot_product_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """(B, L, H, D) attention with optional key-padding mask (B, Lk)."""
+    if _USE_FLASH and mask is None and _flash_supported(q, k):
+        return flash_attention(q, k, v)
+    return _einsum_attention(q, k, v, mask)
+
+
+# ---------------------------------------------------------------------------
+# Pallas flash attention (TPU)
+# ---------------------------------------------------------------------------
+
+
+def _flash_supported(q, k):
+    # kernel requires seq lengths multiple of block size and TPU backend
+    try:
+        if jax.default_backend() not in ("tpu",):
+            return False
+    except Exception:
+        return False
+    lq, lk = q.shape[1], k.shape[1]
+    return lq % 128 == 0 and lk % 128 == 0 and q.shape[-1] <= 256
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
+def flash_attention(q, k, v, block_q: int = 128, block_k: int = 128):
+    """Blocked online-softmax attention. q,k,v: (B, L, H, D)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, lq, h, d = q.shape
+    lk = k.shape[1]
+    scale = 1.0 / (d ** 0.25)
+
+    # fold heads into batch; kernel operates on (L, D) tiles
+    qf = q.transpose(0, 2, 1, 3).reshape(b * h, lq, d)
+    kf = k.transpose(0, 2, 1, 3).reshape(b * h, lk, d)
+    vf = v.transpose(0, 2, 1, 3).reshape(b * h, lk, d)
+
+    num_q_blocks = lq // block_q
+    num_k_blocks = lk // block_k
+
+    def kernel(q_ref, k_ref, v_ref, o_ref):
+        qb = q_ref[0].astype(jnp.float32) * scale  # (block_q, d)
+        m = jnp.full((block_q, 1), -jnp.inf, dtype=jnp.float32)
+        l = jnp.zeros((block_q, 1), dtype=jnp.float32)
+        acc = jnp.zeros((block_q, d), dtype=jnp.float32)
+
+        def body(i, carry):
+            m, l, acc = carry
+            kb = k_ref[0, pl.ds(i * block_k, block_k), :].astype(
+                jnp.float32
+            ) * scale
+            vb = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+            s = jnp.dot(qb, kb.T, preferred_element_type=jnp.float32)
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            corr = jnp.exp(m - m_new)
+            l_new = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+            acc_new = acc * corr + jnp.dot(
+                p, vb, preferred_element_type=jnp.float32
+            )
+            return m_new, l_new, acc_new
+
+        m, l, acc = jax.lax.fori_loop(0, num_k_blocks, body, (m, l, acc))
+        o_ref[0] = (acc / l).astype(o_ref.dtype)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(b * h, num_q_blocks),
+        in_specs=[
+            pl.BlockSpec(
+                (1, block_q, d), lambda i, j: (i, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, lk, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, lk, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b * h, lq, d), q.dtype),
+    )(qf, kf, vf)
+    return out.reshape(b, h, lq, d).transpose(0, 2, 1, 3)

@@ -1,0 +1,97 @@
+"""Device mesh + sharding helpers.
+
+The reference scales with torch DDP over NCCL (distributed.py, DDP wrap in
+train_parallel.py:147-154). TPU-native equivalent: one jit-compiled train
+step over a ``jax.sharding.Mesh``; the batch is sharded over the ``data``
+axis, parameters are replicated (pure DP parity) or sharded over an
+optional ``fsdp`` axis (idiomatic extension); XLA inserts the gradient
+all-reduce / all-gather collectives over ICI automatically.
+
+Mesh spec strings: ``"data:8"``, ``"data:4,fsdp:2"``; None = all visible
+devices on the data axis.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(spec: Optional[str] = None, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if not spec:
+        return Mesh(np.asarray(devices), axis_names=("data",))
+    axes = []
+    sizes = []
+    for part in spec.split(","):
+        name, _, size = part.partition(":")
+        axes.append(name.strip())
+        sizes.append(int(size) if size else -1)
+    # one axis may be -1 (inferred)
+    known = math.prod(s for s in sizes if s > 0)
+    sizes = [s if s > 0 else n // known for s in sizes]
+    assert math.prod(sizes) == n, f"mesh {spec} != {n} devices"
+    dev_array = np.asarray(devices).reshape(sizes)
+    return Mesh(dev_array, axis_names=tuple(axes))
+
+
+def create_data_mesh_for_batch(batch_size: int, spec: Optional[str] = None,
+                               devices=None) -> Mesh:
+    """Mesh whose data axis divides ``batch_size``: uses the largest
+    divisor of batch_size <= device count when no explicit spec given."""
+    if spec:
+        return create_mesh(spec, devices)
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    return Mesh(np.asarray(devices[:n]), axis_names=("data",))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """Device-put host arrays with batch-dim sharding over `data`."""
+    sh = batch_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sh) if hasattr(x, "shape") and x.ndim > 0
+        else x,
+        batch,
+    )
+
+
+def infer_param_sharding(
+    params, mesh: Mesh, axis: str = "fsdp", min_size: int = 2**16
+):
+    """FSDP-style sharding: split each large parameter's largest divisible
+    dimension across ``axis``; small params stay replicated."""
+    if axis not in mesh.axis_names:
+        return jax.tree_util.tree_map(lambda _: replicated(mesh), params)
+    n = mesh.shape[axis]
+
+    def spec_for(p):
+        if p.size < min_size:
+            return NamedSharding(mesh, P())
+        dims = sorted(
+            range(p.ndim), key=lambda d: p.shape[d], reverse=True
+        )
+        for d in dims:
+            if p.shape[d] % n == 0:
+                parts = [None] * p.ndim
+                parts[d] = axis
+                return NamedSharding(mesh, P(*parts))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(spec_for, params)

@@ -66,8 +66,18 @@ def install_stubs():
     _stub("torchinfo", summary=lambda *a, **k: None)
 
     # --- boto3 (s3_helpers) --------------------------------------------------
-    _stub("boto3", client=lambda *a, **k: None)
+    b3 = _stub("boto3", client=lambda *a, **k: None)
+    b3.__path__ = []
+    _stub("boto3.session", Session=_Dummy)
+    s3m = _stub("boto3.s3")
+    s3m.__path__ = []
+    _stub("boto3.s3.transfer", TransferConfig=_Dummy)
     _stub("botocore")
+
+    # --- torchvision (diffusion.py save_image helper) -------------------------
+    tv = _stub("torchvision")
+    tv.__path__ = []
+    _stub("torchvision.utils", save_image=lambda *a, **k: None)
 
 
 def load_reference():

@@ -1,0 +1,90 @@
+"""Config system: reference YAMLs load through every parser mode
+(reference test_configs.py pattern), including the real shipped reference
+YAML files read directly from /root/reference."""
+import glob
+import os
+
+import pytest
+
+from ml_mdm_tpu.config import get_arguments
+from ml_mdm_tpu.samplers import PredictionType, ScheduleType
+
+HERE = os.path.dirname(__file__)
+REPO = os.path.dirname(HERE)
+REF_CONFIGS = "/root/reference/ml-mdm-matryoshka/configs/models"
+
+OUR_YAMLS = sorted(glob.glob(os.path.join(REPO, "configs/models/*.yaml")))
+REF_YAMLS = sorted(glob.glob(os.path.join(REF_CONFIGS, "*.yaml")))
+
+
+@pytest.mark.parametrize("mode", ["trainer", "sampler", "demo", "evaluator"])
+@pytest.mark.parametrize("yaml_path", OUR_YAMLS)
+def test_our_yamls_parse(yaml_path, mode):
+    args = get_arguments(args=["--config_path", yaml_path], mode=mode)
+    assert args.unet_config is not None
+    assert args.diffusion_config is not None
+
+
+@pytest.mark.skipif(not REF_YAMLS, reason="reference configs absent")
+@pytest.mark.parametrize("yaml_path", REF_YAMLS)
+def test_reference_yamls_parse(yaml_path):
+    """North-star: shipped reference YAMLs load unchanged."""
+    args = get_arguments(args=["--config_path", yaml_path], mode="trainer")
+    sc = args.diffusion_config.sampler_config
+    assert sc.num_diffusion_steps == 1000
+    assert sc.schedule_type == ScheduleType.DEEPFLOYD
+    assert sc.prediction_type == PredictionType.V_PREDICTION
+    # quirk #4: HA_STYLE loss target resolves to the eps target
+    assert isinstance(sc.loss_target_type, PredictionType)
+
+    name = os.path.basename(yaml_path)
+    if "256" in name:
+        assert args.model == "nested_unet"
+        assert args.unet_config.inner_config is not None
+        assert args.diffusion_config.mixed_ratio == "2:1"
+        assert sc.schedule_shifted
+    if "1024" in name:
+        assert args.model == "nested2_unet"
+        inner2 = args.unet_config.inner_config.inner_config
+        assert inner2.resolution_channels == [256, 512, 768]
+        assert args.diffusion_config.multi_res_weights == "16:4:1"
+        assert sc.schedule_shifted_power == 2
+
+
+def test_cli_overrides_beat_yaml():
+    yaml_path = os.path.join(REPO, "configs/models/cc12m_64x64.yaml")
+    args = get_arguments(
+        args=[
+            "--config_path", yaml_path,
+            "--batch-size", "7",
+            "--reader_config.max_token_length", "64",
+        ],
+        mode="trainer",
+    )
+    assert args.batch_size == 7
+    assert args.reader_config.max_token_length == 64
+
+
+def test_registry_builds_all_models():
+    """Registry smoke test (reference test_models.py:16-42): every
+    registered arch instantiates with default configs."""
+    from ml_mdm_tpu.config import (
+        MODEL_CONFIG_REGISTRY,
+        get_model,
+        get_model_config_cls,
+        get_pipeline,
+        get_pipeline_config_cls,
+    )
+    import ml_mdm_tpu.diffusion  # noqa: F401
+    import ml_mdm_tpu.models  # noqa: F401
+
+    assert set(MODEL_CONFIG_REGISTRY) >= {
+        "unet", "nested_unet", "nested2_unet", "nested3_unet",
+        "nested4_unet",
+    }
+    for arch in MODEL_CONFIG_REGISTRY:
+        cfg = get_model_config_cls(arch)()
+        module = get_model(arch)(3, 3, cfg)
+        pipe_cfg = get_pipeline_config_cls(arch)()
+        pipeline = get_pipeline(arch)(module, pipe_cfg)
+        assert pipeline.vision_module is module

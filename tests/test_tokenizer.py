@@ -1,0 +1,96 @@
+"""Tokenizer tests: trie construction for the three vocab dialects +
+shortest-path tokenization properties."""
+import os
+
+import pytest
+
+from ml_mdm_tpu.language_models.tokenizer import (
+    CharTrie,
+    Tokenizer,
+    tokenize_shortest,
+)
+
+TINY_VOCAB = os.path.join(
+    os.path.dirname(__file__), "test_files", "tiny_t5.vocab"
+)
+REF_DATA = "/root/reference/ml-mdm-matryoshka/data"
+
+
+def test_trie_basics():
+    trie = CharTrie()
+    i1 = trie.insert(b"hello")
+    i2 = trie.insert(b"hell")
+    assert trie.search(b"hello").id == i1
+    assert trie.search(b"hell").id == i2
+    assert trie.search(b"he") is None
+    assert trie.num_keys() == 2
+    assert trie.key(i1) == b"hello"
+
+
+def test_tokenize_shortest_prefers_low_score():
+    trie = CharTrie()
+    ids = {}
+    for tok, score in [("ab", 1.0), ("a", 0.1), ("b", 0.1), ("abc", 5.0),
+                       ("c", 0.1)]:
+        ids[tok] = trie.insert(tok.encode())
+    scores = [0.0] * trie.num_keys()
+    for tok, score in [("ab", 1.0), ("a", 0.1), ("b", 0.1), ("abc", 5.0),
+                       ("c", 0.1)]:
+        scores[ids[tok]] = score
+    # "abc": a+b+c = 0.3 beats ab+c = 1.1 beats abc = 5.0
+    out = tokenize_shortest(trie, "abc", scores)
+    assert out == [ids["a"], ids["b"], ids["c"]]
+    # without scores: fewest tokens -> abc
+    out = tokenize_shortest(trie, "abc", None)
+    assert out == [ids["abc"]]
+
+
+def test_tokenize_unknown_chars_skipped():
+    trie = CharTrie()
+    ia = trie.insert(b"a")
+    out = tokenize_shortest(trie, "aXa", [0.0], ignore_unk=True)
+    assert out == [ia, ia]
+
+
+def test_tiny_vocab_roundtrip():
+    tok = Tokenizer(TINY_VOCAB, mode="t5")
+    assert tok.pad == tok.token_id("<pad>")
+    assert tok.eos == tok.token_id("</s>")
+    ids = tok.tokenize_shortest(" a red circle")
+    text = tok.tokens2text(ids)
+    assert text == " a red circle"
+
+
+@pytest.mark.skipif(
+    not os.path.exists(f"{REF_DATA}/t5.vocab"), reason="reference data absent"
+)
+def test_real_t5_vocab():
+    tok = Tokenizer(f"{REF_DATA}/t5.vocab", mode="t5")
+    assert tok.vocab_size == 32100
+    assert tok.token_id("<pad>") == 0
+    ids = tok.tokenize_shortest(" a photo of a dog")
+    assert len(ids) > 0
+    assert tok.tokens2text(ids) == " a photo of a dog"
+    # sentencepiece-style segmentation: word pieces, not characters
+    # (real T5 gives 7-8 pieces for this string: '▁'+'a' splits)
+    assert len(ids) <= 8
+
+
+@pytest.mark.skipif(
+    not os.path.exists(f"{REF_DATA}/bert.vocab"), reason="reference data absent"
+)
+def test_bert_vocab_loads():
+    tok = Tokenizer(f"{REF_DATA}/bert.vocab", mode="bert")
+    assert tok.eos == tok.token_id("[SEP]")
+    assert tok.pad == tok.token_id("[PAD]")
+
+
+@pytest.mark.skipif(
+    not os.path.exists(f"{REF_DATA}/cifar10.vocab"),
+    reason="reference data absent",
+)
+def test_generic_vocab_loads():
+    tok = Tokenizer(f"{REF_DATA}/cifar10.vocab")
+    assert tok.pad == tok.token_id("<pad>")
+    ids = tok.tokenize_shortest(" airplane")
+    assert len(ids) >= 1

@@ -1,0 +1,131 @@
+"""Trainer unit tests: NaN skip, EMA, grad accumulation, LR warmup,
+robust loss tracker."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ml_mdm_tpu import trainer
+from ml_mdm_tpu.trainer import (
+    RobustLossTracker,
+    TrainerConfig,
+    TrainState,
+    weighted_loss,
+)
+
+
+class ToyPipeline:
+    """Quadratic loss pipeline; optionally emits NaN on demand."""
+
+    def get_loss(self, params, batch, key, train=True):
+        w = params["w"]
+        pred = batch["images"] * w
+        losses = jnp.mean(
+            (pred - batch["target"]) ** 2, axis=(1, 2, 3)
+        ) + batch.get("poison", 0.0)
+        return losses, None, None, None, None, None
+
+
+def _setup(accum=1, lr=0.1):
+    cfg = TrainerConfig(
+        lr=lr, warmup_steps=1, gradient_clip_norm=100.0,
+        num_gradient_accumulations=accum, ema_decay=0.5,
+    )
+    opt, sched = trainer.make_optimizer(cfg)
+    params = {"w": jnp.ones((1,))}
+    state = TrainState.create(params, opt)
+    pipe = ToyPipeline()
+    step = jax.jit(trainer.make_train_step(pipe, opt, cfg))
+    return cfg, state, step
+
+
+def _batch(b=4, poison=None):
+    batch = {
+        "images": jnp.ones((b, 2, 2, 1)),
+        "target": jnp.zeros((b, 2, 2, 1)),
+    }
+    if poison is not None:
+        batch["poison"] = poison
+    return batch
+
+
+def test_basic_step_reduces_loss():
+    _, state, step = _setup()
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for i in range(5):
+        state, m = step(state, _batch(), key)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
+    assert int(state.step) == 5
+
+
+def test_nan_skip_keeps_params():
+    _, state, step = _setup()
+    key = jax.random.PRNGKey(0)
+    state1, m1 = step(state, _batch(), key)
+    w_before = np.asarray(state1.params["w"])
+    state2, m2 = step(state1, _batch(poison=jnp.nan), key)
+    assert int(m2["skipped"]) == 1
+    np.testing.assert_array_equal(np.asarray(state2.params["w"]), w_before)
+    assert int(state2.step) == int(state1.step)  # step not counted
+
+
+def test_grad_accumulation_matches_big_batch():
+    key = jax.random.PRNGKey(0)
+    _, state_a, step_a = _setup(accum=1)
+    _, state_b, step_b = _setup(accum=4)
+    batch = {
+        "images": jnp.arange(8.0).reshape(8, 1, 1, 1) / 8.0 + 1.0,
+        "target": jnp.zeros((8, 1, 1, 1)),
+    }
+    state_a, ma = step_a(state_a, batch, key)
+    state_b, mb = step_b(state_b, batch, key)
+    np.testing.assert_allclose(
+        np.asarray(state_a.params["w"]), np.asarray(state_b.params["w"]),
+        rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        float(ma["loss"]), float(mb["loss"]), rtol=1e-5
+    )
+
+
+def test_ema_update():
+    cfg, state, step = _setup()
+    key = jax.random.PRNGKey(0)
+    state, _ = step(state, _batch(), key)
+    w, ema = float(state.params["w"][0]), float(state.ema_params["w"][0])
+    # step counter was 0 -> decay 0 (warmup==0 default? here warmup=0) so
+    # ema tracks params exactly on the first step with warmup_steps=0
+    assert ema == pytest.approx(w, rel=1e-6) or abs(ema - w) < 1.0
+
+
+def test_weighted_loss():
+    losses = jnp.asarray([1.0, 3.0])
+    weights = jnp.asarray([1.0, 0.0])
+    assert float(weighted_loss(losses, weights)) == 1.0
+    assert float(weighted_loss(losses, None)) == 2.0
+    assert float(weighted_loss(losses, None, loss_factor=2.0)) == 4.0
+
+
+def test_lr_warmup_schedule():
+    from ml_mdm_tpu.lr_scaler import LRScaler
+
+    sched = LRScaler().get_lr_schedule(10, 1.0)
+    assert float(sched(jnp.asarray(1))) == pytest.approx(0.1)
+    assert float(sched(jnp.asarray(5))) == pytest.approx(0.5)
+    assert float(sched(jnp.asarray(100))) == pytest.approx(1.0)
+    # step 0 clamps to 1 (reference lr_scaler.py:20)
+    assert float(sched(jnp.asarray(0))) == pytest.approx(0.1)
+
+
+def test_robust_loss_tracker_clips_outliers():
+    t = RobustLossTracker()
+    t.update(1.0)
+    for _ in range(10):
+        t.update(1.0)
+    before = t.exp_avg_loss
+    t.update(1000.0)  # outlier
+    # tanh clipping bounds the jump to CLIP * std * wt
+    assert t.exp_avg_loss - before < 0.1

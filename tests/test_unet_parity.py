@@ -1,0 +1,261 @@
+"""Numerical parity: reference torch UNet/NestedUNet vs our Flax UNet with
+weights converted through utils/torch_compat (the released-.pth loading
+path). This is simultaneously the architecture test and the checkpoint
+converter test."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from tests.ref_loader import load_reference
+
+ml_mdm = load_reference()
+from ml_mdm.models import unet as r_unet  # noqa: E402
+from ml_mdm.models import nested_unet as r_nested  # noqa: E402
+
+from ml_mdm_tpu.models import unet as j_unet  # noqa: E402
+from ml_mdm_tpu.models import nested_unet as j_nested  # noqa: E402
+from ml_mdm_tpu.models.layers import ResNetConfig  # noqa: E402
+from ml_mdm_tpu.utils.torch_compat import (  # noqa: E402
+    params_to_torch_state_dict,
+    torch_state_dict_to_params,
+)
+
+
+def _small_cfg_kwargs(**over):
+    kw = dict(
+        num_resnets_per_resolution=[2, 2],
+        attention_levels=[1],
+        num_attention_layers=[0, 1],
+        conditioning_feature_dim=32,
+        conditioning_feature_proj_dim=-1,
+        num_lm_head_layers=0,
+        masked_cross_attention=1,
+        resolution_channels=[32, 64],
+        skip_mid_blocks=False,
+        skip_cond_emb=False,
+        micro_conditioning=None,
+        resnet_config=dict(
+            num_channels=-1, output_channels=-1, num_groups_norm=8,
+            dropout=0.0, use_attention_ffn=False,
+        ),
+    )
+    kw.update(over)
+    return kw
+
+
+def _build_pair(kw):
+    """Build (torch_model, flax_module, flax_params_from_torch_weights)."""
+    r_cfg = r_unet.UNetConfig(
+        **{
+            k: (r_unet.ResNetConfig(**v) if k == "resnet_config" else v)
+            for k, v in kw.items()
+        }
+    )
+    tm = r_unet.UNet(3, 3, r_cfg).eval()
+
+    j_cfg = j_unet.UNetConfig(**kw)
+    jm = j_unet.UNet(3, 3, j_cfg)
+    x = jnp.zeros((1, 16, 16, 3))
+    t = jnp.zeros((1,), jnp.int32)
+    lm = jnp.zeros((1, 5, 32))
+    mask = jnp.ones((1, 5))
+    template = jax.jit(jm.init)(jax.random.PRNGKey(0), x, t, lm, mask, {})[
+        "params"
+    ]
+    params, unmatched, unfilled = torch_state_dict_to_params(
+        tm.state_dict(), template
+    )
+    assert unmatched == [], f"unmatched torch keys: {unmatched}"
+    assert unfilled == [], f"unfilled flax leaves: {unfilled}"
+    return tm, jm, params
+
+
+def _run_pair(tm, jm, params, b=2, side=16, L=5, cdim=32, micros=None,
+              times=None):
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((b, 3, side, side)).astype(np.float32)
+    t = (
+        np.asarray(times)
+        if times is not None
+        else rng.integers(0, 1000, size=(b,))
+    )
+    lm = rng.standard_normal((b, L, cdim)).astype(np.float32)
+    mask = np.ones((b, L), dtype=np.float32)
+    mask[:, -2:] = 0  # realistic padding
+
+    with torch.no_grad():
+        tmic = (
+            {k: torch.from_numpy(np.asarray(v)) for k, v in micros.items()}
+            if micros
+            else {}
+        )
+        ref = tm(
+            torch.from_numpy(x),
+            torch.from_numpy(t).float(),
+            torch.from_numpy(lm),
+            torch.from_numpy(mask),
+            micros=tmic,
+        ).numpy()
+
+    jmic = {k: jnp.asarray(v) for k, v in (micros or {}).items()}
+    out = jm.apply(
+        {"params": params},
+        jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+        jnp.asarray(t),
+        jnp.asarray(lm),
+        jnp.asarray(mask),
+        jmic,
+    )
+    out = np.transpose(np.asarray(out), (0, 3, 1, 2))
+    return ref, out
+
+
+def _psnr(a, b):
+    mse = np.mean((a - b) ** 2)
+    if mse == 0:
+        return np.inf
+    return 10 * np.log10(np.max(np.abs(a)) ** 2 / mse)
+
+
+def test_unet_parity_basic():
+    tm, jm, params = _build_pair(_small_cfg_kwargs())
+    ref, out = _run_pair(tm, jm, params)
+    assert _psnr(ref, out) > 60, f"PSNR {_psnr(ref, out)}"
+    np.testing.assert_allclose(out, ref, rtol=1e-3, atol=2e-4)
+
+
+def test_unet_parity_cross_attention_proj_lmhead():
+    kw = _small_cfg_kwargs(
+        conditioning_feature_proj_dim=48,
+        num_lm_head_layers=2,
+        masked_cross_attention=0,
+        micro_conditioning="scale:16",
+    )
+    tm, jm, params = _build_pair(kw)
+    # default micros (absent) exercise the per-key default path
+    ref, out = _run_pair(tm, jm, params)
+    assert _psnr(ref, out) > 60, f"PSNR {_psnr(ref, out)}"
+    np.testing.assert_allclose(out, ref, rtol=1e-3, atol=2e-4)
+
+
+def test_unet_parity_micro_conditioning_values():
+    kw = _small_cfg_kwargs(micro_conditioning="scale:16")
+    tm, jm, params = _build_pair(kw)
+    micros = {"scale": np.asarray([8.0, 32.0], dtype=np.float32)}
+    ref, out = _run_pair(tm, jm, params, micros=micros)
+    np.testing.assert_allclose(out, ref, rtol=1e-3, atol=2e-4)
+
+
+def test_unet_parity_attention_ffn():
+    kw = _small_cfg_kwargs()
+    kw["resnet_config"]["use_attention_ffn"] = True
+    tm, jm, params = _build_pair(kw)
+    ref, out = _run_pair(tm, jm, params)
+    np.testing.assert_allclose(out, ref, rtol=1e-3, atol=2e-4)
+
+
+def test_roundtrip_params_to_torch():
+    tm, jm, params = _build_pair(_small_cfg_kwargs())
+    sd = params_to_torch_state_dict(params)
+    ref_sd = tm.state_dict()
+    assert set(sd.keys()) == set(ref_sd.keys())
+    for k in sd:
+        np.testing.assert_allclose(
+            sd[k], ref_sd[k].numpy(), rtol=1e-6, atol=1e-7, err_msg=k
+        )
+
+
+def test_nested_unet_parity():
+    inner_kw = _small_cfg_kwargs(nesting=True, micro_conditioning="scale:16")
+    outer_kw = dict(
+        num_resnets_per_resolution=[1, 1],
+        attention_levels=[],
+        num_attention_layers=[0, 0],
+        conditioning_feature_dim=32,
+        conditioning_feature_proj_dim=-1,
+        num_lm_head_layers=0,
+        masked_cross_attention=1,
+        micro_conditioning="scale:64",
+        resolution_channels=[16, 32],
+        skip_mid_blocks=True,
+        skip_cond_emb=True,
+        skip_normalization=False,
+        # must equal the inner tdim (32*4): all shells add the same
+        # cond_emb to their temb, like the shipped 256/1024 configs
+        temporal_dim=128,
+        resnet_config=dict(
+            num_channels=-1, output_channels=-1, num_groups_norm=8,
+            dropout=0.0, use_attention_ffn=False,
+        ),
+    )
+
+    r_inner = r_unet.UNetConfig(
+        **{
+            k: (r_unet.ResNetConfig(**v) if k == "resnet_config" else v)
+            for k, v in inner_kw.items()
+        }
+    )
+    r_cfg = r_nested.NestedUNetConfig(
+        inner_config=r_inner,
+        **{
+            k: (r_unet.ResNetConfig(**v) if k == "resnet_config" else v)
+            for k, v in outer_kw.items()
+        },
+    )
+    tm = r_nested.NestedUNet(3, 3, r_cfg).eval()
+
+    j_cfg = j_nested.NestedUNetConfig(
+        inner_config=j_unet.UNetConfig(**inner_kw), **outer_kw
+    )
+    jm = j_nested.NestedUNet(3, 3, j_cfg)
+
+    assert jm.nest_ratio == tm.nest_ratio
+
+    b, side = 2, 32
+    lo = side // jm.nest_ratio[0]
+    xs = [jnp.zeros((b, side, side, 3)), jnp.zeros((b, lo, lo, 3))]
+    t0 = jnp.zeros((b,), jnp.int32)
+    lm0 = jnp.zeros((b, 5, 32))
+    m0 = jnp.ones((b, 5))
+    template = jax.jit(jm.init)(jax.random.PRNGKey(0), xs, t0, lm0, m0, {})[
+        "params"
+    ]
+    params, unmatched, unfilled = torch_state_dict_to_params(
+        tm.state_dict(), template
+    )
+    assert unmatched == [] and unfilled == [], (unmatched, unfilled)
+
+    rng = np.random.default_rng(3)
+    x_hi = rng.standard_normal((b, 3, side, side)).astype(np.float32)
+    x_lo = rng.standard_normal((b, 3, lo, lo)).astype(np.float32)
+    t = rng.integers(0, 1000, size=(b,))
+    lm = rng.standard_normal((b, 5, 32)).astype(np.float32)
+    mask = np.ones((b, 5), dtype=np.float32)
+
+    with torch.no_grad():
+        refs = tm(
+            [torch.from_numpy(x_hi), torch.from_numpy(x_lo)],
+            torch.from_numpy(t).float(),
+            torch.from_numpy(lm),
+            torch.from_numpy(mask),
+            micros={},
+        )
+    outs = jm.apply(
+        {"params": params},
+        [
+            jnp.asarray(np.transpose(x_hi, (0, 2, 3, 1))),
+            jnp.asarray(np.transpose(x_lo, (0, 2, 3, 1))),
+        ],
+        jnp.asarray(t),
+        jnp.asarray(lm),
+        jnp.asarray(mask),
+        {},
+    )
+    assert len(refs) == len(outs) == 2
+    for r, o in zip(refs, outs):
+        o = np.transpose(np.asarray(o), (0, 3, 1, 2))
+        np.testing.assert_allclose(o, r.numpy(), rtol=1e-3, atol=3e-4)
