@@ -150,12 +150,26 @@ def _read_tsv(path: str) -> Iterator[Dict[str, str]]:
 
 class _TarCache:
     """Keeps recently used tar member indexes open (tar shards are read
-    many times in caption order)."""
+    many times in caption order). Prefers the C++ index (ml_mdm_tpu/native:
+    O(1) member lookup, GIL released during reads) and falls back to
+    tarfile for compressed or exotic archives."""
 
     def __init__(self, capacity: int = 4):
         self.capacity = capacity
-        self._cache: Dict[str, tarfile.TarFile] = {}
+        self._cache: Dict[str, Any] = {}
         self._lock = threading.Lock()
+
+    def _open(self, tar_path: str):
+        try:
+            with open(tar_path, "rb") as f:
+                magic = f.read(512)
+            if magic[257:262] != b"ustar":  # compressed / non-ustar
+                raise ValueError("not a plain ustar archive")
+            from ml_mdm_tpu.native.tar import NativeTar
+
+            return NativeTar(tar_path)
+        except Exception:
+            return tarfile.open(tar_path, "r")
 
     def read_member(self, tar_path: str, member: str) -> Optional[bytes]:
         with self._lock:
@@ -163,14 +177,19 @@ class _TarCache:
             if tf is None:
                 if len(self._cache) >= self.capacity:
                     _, old = self._cache.popitem()
-                    old.close()
-                tf = tarfile.open(tar_path, "r")
+                    if hasattr(old, "close"):
+                        old.close()
+                tf = self._open(tar_path)
                 self._cache[tar_path] = tf
-            try:
-                f = tf.extractfile(member)
-                return f.read() if f is not None else None
-            except KeyError:
-                return None
+        if isinstance(tf, tarfile.TarFile):
+            with self._lock:
+                try:
+                    f = tf.extractfile(member)
+                    return f.read() if f is not None else None
+                except KeyError:
+                    return None
+        data = tf.read(member)  # NativeTar: internally locked
+        return data
 
 
 def _sample_rows(
@@ -262,14 +281,34 @@ class _Pipeline:
             )
             if data is None:
                 return None
-            try:
-                img = _load_image(data)
-            except Exception:
-                return None
+            arr = None
             if cfg.image_size != -1:
-                img = _resize_smallest_side(img, cfg.image_size)
-                img = _crop(img, cfg.image_size, cfg.random_crop, self.rng)
-            out["image"] = np.asarray(img, dtype=np.uint8)
+                # C++ fast path: fused JPEG decode + resize + crop with the
+                # GIL released (ml_mdm_tpu/native, replaces mlx.data's
+                # load_image — reference reader.py:119-126)
+                from ml_mdm_tpu.native import image as native_image
+
+                arr = native_image.decode_resize_crop(
+                    data,
+                    cfg.smaller_side_size
+                    if cfg.smaller_side_size != -1
+                    else cfg.image_size,
+                    cfg.image_size,
+                    cfg.random_crop,
+                    seed=int(self.rng.integers(1, 2**63)),
+                )
+            if arr is None:  # non-JPEG or native unavailable: PIL
+                try:
+                    img = _load_image(data)
+                except Exception:
+                    return None
+                if cfg.image_size != -1:
+                    img = _resize_smallest_side(img, cfg.image_size)
+                    img = _crop(
+                        img, cfg.image_size, cfg.random_crop, self.rng
+                    )
+                arr = np.asarray(img, dtype=np.uint8)
+            out["image"] = arr
 
         if self.load_numpy:
             data = self.text_tar_cache.read_member(

@@ -25,6 +25,27 @@ def test_our_yamls_parse(yaml_path, mode):
     assert args.diffusion_config is not None
 
 
+@pytest.mark.parametrize("yaml_path", OUR_YAMLS)
+def test_our_yamls_semantics(yaml_path):
+    """Our shipped recipes express the same architectures as the
+    reference ones (same invariants as test_reference_yamls_parse)."""
+    args = get_arguments(args=["--config_path", yaml_path], mode="trainer")
+    name = os.path.basename(yaml_path)
+    sc = args.diffusion_config.sampler_config
+    if "256" in name:
+        assert args.model == "nested_unet"
+        assert args.unet_config.inner_config.resolution_channels == [256, 512, 768]
+        assert args.diffusion_config.mixed_ratio == "2:1"
+        assert sc.schedule_shifted
+    if "1024" in name:
+        assert args.model == "nested2_unet"
+        inner2 = args.unet_config.inner_config.inner_config
+        assert inner2.resolution_channels == [256, 512, 768]
+        assert args.diffusion_config.multi_res_weights == "16:4:1"
+        assert sc.schedule_shifted_power == 2
+        assert args.fp16
+
+
 @pytest.mark.skipif(not REF_YAMLS, reason="reference configs absent")
 @pytest.mark.parametrize("yaml_path", REF_YAMLS)
 def test_reference_yamls_parse(yaml_path):

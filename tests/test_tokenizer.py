@@ -94,3 +94,19 @@ def test_generic_vocab_loads():
     assert tok.pad == tok.token_id("<pad>")
     ids = tok.tokenize_shortest(" airplane")
     assert len(ids) >= 1
+
+
+def test_build_vocab_wordlist_roundtrip(tmp_path):
+    """build_vocab --wordlist output loads into the trie tokenizer."""
+    from ml_mdm_tpu.clis import build_vocab
+    from ml_mdm_tpu.language_models.tokenizer import Tokenizer
+
+    words = tmp_path / "words.txt"
+    words.write_text("cat\ndog\nbird\n")
+    out = tmp_path / "tiny.vocab"
+    build_vocab.main(["--wordlist", str(words), "--output", str(out)])
+
+    tok = Tokenizer(str(out), mode="t5")
+    ids = tok.tokenize_shortest("cat dog")
+    assert ids, "tokenizer produced no ids"
+    assert all(isinstance(i, int) for i in ids)
