@@ -259,3 +259,43 @@ def test_nested_unet_parity():
     for r, o in zip(refs, outs):
         o = np.transpose(np.asarray(o), (0, 3, 1, 2))
         np.testing.assert_allclose(o, r.numpy(), rtol=1e-3, atol=3e-4)
+
+
+def test_temporal_mode_forward():
+    """Video/temporal capability (reference unet.py:159-190,391-422):
+    T frames packed into batch, temporal attention per pixel across
+    frames; temb is per-video."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ml_mdm_tpu.models.layers import ResNetConfig
+    from ml_mdm_tpu.models.unet import UNet, UNetConfig
+
+    cfg = UNetConfig(
+        resolution_channels="32,64",
+        num_resnets_per_resolution="1,1",
+        attention_levels="1",
+        num_attention_layers="1",
+        num_temporal_attention_layers="1",
+        temporal_mode=True,
+        temporal_positional_encoding=True,
+        conditioning_feature_dim=16,
+        masked_cross_attention=0,
+        resnet_config=ResNetConfig(num_groups_norm=8,
+                                   use_attention_ffn=False),
+    )
+    mod = UNet(3, 3, cfg)
+    B, T, S = 2, 4, 16
+    x = jnp.zeros((B * T, S, S, 3))
+    t = jnp.zeros((B,), jnp.int32)
+    lm = jnp.zeros((B, 4, 16))
+    mask = jnp.ones((B, 4))
+    params = jax.jit(mod.init)(
+        jax.random.PRNGKey(0), x, t, lm, mask, {}
+    )["params"]
+    out = jax.jit(
+        lambda p, *a: mod.apply({"params": p}, *a)
+    )(params, x, t, lm, mask, {})
+    assert out.shape == (B * T, S, S, 3)
+    assert np.isfinite(np.asarray(out)).all()
