@@ -136,6 +136,7 @@ def main(args):
         use_adamw=args.use_adamw,
         num_gradient_accumulations=args.num_gradient_accumulations,
         loss_factor=args.loss_factor,
+        remat=bool(getattr(args, "remat", 0)),
     )
     freeze_mask = None
     if getattr(args.unet_config, "freeze_inner_unet", False):

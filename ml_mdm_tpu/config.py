@@ -202,6 +202,9 @@ def _add_trainer_arguments(p):
     p.add_argument("--gradient-clip-norm", type=float, default=2.0)
     p.add_argument("--warmup-steps", type=int, default=5000)
     p.add_argument("--num-gradient-accumulations", type=int, default=1)
+    p.add_argument("--remat", type=int, default=0,
+                   help="rematerialise activations in backward "
+                   "(memory for FLOPs; use for 1024px training)")
     p.add_argument("--loss-factor", type=float, default=1)
     p.add_argument("--resume-from-ema", action="store_true")
     # TPU-native extensions

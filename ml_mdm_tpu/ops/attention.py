@@ -23,7 +23,9 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-_USE_FLASH = os.environ.get("ML_MDM_TPU_FLASH", "0") == "1"
+# default ON: _flash_supported() already restricts to the TPU backend and
+# kernel-compatible shapes, so CPU tests and odd shapes use the einsum path
+_USE_FLASH = os.environ.get("ML_MDM_TPU_FLASH", "1") == "1"
 
 
 def use_flash(enabled: bool):

@@ -39,6 +39,9 @@ class TrainerConfig:
     lr_scaling_factor: float = 1.0
     ema_decay: float = 0.9999
     ema_warmup_steps: int = 0
+    # rematerialise the forward pass in backward (jax.checkpoint): trades
+    # ~33% extra FLOPs for activation memory — required for 1024px batches
+    remat: bool = False
 
 
 class TrainState(struct.PyTreeNode):
@@ -123,6 +126,13 @@ def make_train_step(
         )
         return loss, (losses, time)
 
+    if config.remat:
+        # checkpoint at the loss-fn boundary with the dots-saveable policy:
+        # matmul/conv outputs are kept, cheap elementwise ops recompute
+        loss_fn = jax.checkpoint(
+            loss_fn,
+            policy=jax.checkpoint_policies.checkpoint_dots,
+        )
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
     def _microbatch(batch, i):

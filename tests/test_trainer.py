@@ -129,3 +129,27 @@ def test_robust_loss_tracker_clips_outliers():
     t.update(1000.0)  # outlier
     # tanh clipping bounds the jump to CLIP * std * wt
     assert t.exp_avg_loss - before < 0.1
+
+
+def test_remat_matches_no_remat():
+    """jax.checkpoint wrapping must not change the computed update."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from ml_mdm_tpu import trainer
+    from ml_mdm_tpu.trainer import TrainerConfig, TrainState
+
+    pipe = ToyPipeline()
+    batch = _batch()
+    key = jax.random.PRNGKey(0)
+    results = []
+    for remat in (False, True):
+        cfg = TrainerConfig(lr=0.1, warmup_steps=1,
+                            gradient_clip_norm=100.0, remat=remat)
+        opt, _ = trainer.make_optimizer(cfg)
+        state = TrainState.create({"w": jnp.ones((1,))}, opt)
+        step = jax.jit(trainer.make_train_step(pipe, opt, cfg))
+        for _ in range(3):
+            state, m = step(state, batch, key)
+        results.append(np.asarray(state.params["w"]))
+    np.testing.assert_allclose(results[0], results[1], rtol=1e-7)
