@@ -43,13 +43,15 @@ def frechet_distance(mu1, sigma1, mu2, sigma2, eps=1e-6) -> float:
     """FID between two Gaussians (Heusel et al. 2017)."""
     from scipy import linalg
 
+    def _sqrtm(m):  # scipy >= 1.14 drops the disp kwarg/tuple return
+        out = linalg.sqrtm(m)
+        return out[0] if isinstance(out, tuple) else out
+
     diff = mu1 - mu2
-    covmean, _ = linalg.sqrtm(sigma1 @ sigma2, disp=False)
+    covmean = _sqrtm(sigma1 @ sigma2)
     if not np.isfinite(covmean).all():
         offset = np.eye(sigma1.shape[0]) * eps
-        covmean = linalg.sqrtm(
-            (sigma1 + offset) @ (sigma2 + offset), disp=False
-        )[0]
+        covmean = _sqrtm((sigma1 + offset) @ (sigma2 + offset))
     if np.iscomplexobj(covmean):
         covmean = covmean.real
     return float(

@@ -441,7 +441,7 @@ class UNet(nn.Module):
             )
             micro = micro.astype(jnp.float32)
             if key == "scale":
-                micro = jnp.clip(micro / default, a_max=1.0) * default
+                micro = jnp.clip(micro / default, max=1.0) * default
             else:
                 micro = micro * 1000.0
             ff = (
