@@ -205,5 +205,6 @@ if __name__ == "__main__":
     seed = args.seed if args.seed != -1 else int(time.time() % 10000)
     np.random.seed(seed)
     args.seed = seed
+    helpers.select_platform(args)
     helpers.print_args(args)
     main(args)

@@ -349,5 +349,6 @@ if __name__ == "__main__":
     logging.basicConfig(level=getattr(logging, args.loglevel.upper(), None))
     if not hasattr(args, "model_file"):
         args.model_file = None
+    helpers.select_platform(args)
     helpers.print_args(args)
     main(args)

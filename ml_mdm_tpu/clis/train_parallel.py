@@ -195,6 +195,40 @@ def main(args):
     batch_num = start_batch_num
     total_time = 0.0
     num_time_counts = 0
+    # one-step-delayed metrics: float(metrics) blocks until that step
+    # finishes on device, so materialise step N-1's scalars only after
+    # step N is dispatched — keeps host-side data loading of the next
+    # batch overlapped with device compute (jax dispatch is async)
+    pending = None
+    last_loss = float("nan")
+
+    def consume(entry):
+        """Materialise one step's metrics: tracker + logging."""
+        nonlocal last_loss
+        num, met = entry
+        loss_val = float(met["loss"])
+        last_loss = loss_val
+        if np.isnan(loss_val):
+            return
+        tracker.update(loss_val)
+        if global_rank == 0 and logger is not None:
+            logger.batch_num = num
+            m = {
+                "loss": loss_val,
+                "batch_num": num,
+                "exp_avg_loss": tracker.exp_avg_loss,
+                "step time": total_time / max(num_time_counts, 1),
+                "batch time": total_time
+                / max(num - start_batch_num, 1),
+                "exp_avg_std_loss": float(
+                    np.sqrt(tracker.exp_avg_loss_var)
+                ),
+                "grad_norm": float(met["grad_norm"]),
+            }
+            for k_, v_ in m.items():
+                logger.add_scalar(k_, v_)
+            if num % args.log_freq == 0:
+                logging.info(f"Batch: {num} - {m}")
 
     while True:
         try:
@@ -211,41 +245,23 @@ def main(args):
         start_time = time.time()
         key, k_step = jax.random.split(key)
         state, metrics = train_step(state, batch, k_step)
-        loss_val = float(metrics["loss"])
         batch_num += 1
+        if pending is not None:
+            consume(pending)
+        pending = (batch_num, metrics)
         total_time += time.time() - start_time
         num_time_counts += 1
-
-        if np.isnan(loss_val):
-            continue
-        tracker.update(loss_val)
-
-        if global_rank == 0 and logger is not None:
-            logger.batch_num = batch_num
-            m = {
-                "loss": loss_val,
-                "batch_num": batch_num,
-                "exp_avg_loss": tracker.exp_avg_loss,
-                "step time": total_time / max(num_time_counts, 1),
-                "batch time": total_time
-                / max(batch_num - start_batch_num, 1),
-                "exp_avg_std_loss": float(
-                    np.sqrt(tracker.exp_avg_loss_var)
-                ),
-                "grad_norm": float(metrics["grad_norm"]),
-            }
-            for k_, v_ in m.items():
-                logger.add_scalar(k_, v_)
-            if batch_num % args.log_freq == 0:
-                logging.info(f"Batch: {batch_num} - {m}")
 
         if (batch_num % args.save_freq == 0) or (
             batch_num == args.num_training_steps
         ):
+            # saving needs this step's stats: drain the pipeline
+            consume(pending)
+            pending = None
             if global_rank == 0:
                 other = {
                     "batch_num": batch_num,
-                    "loss": loss_val,
+                    "loss": last_loss,
                     "best_avg_loss": tracker.best_avg_loss,
                     "exp_avg_loss": tracker.exp_avg_loss,
                     "exp_avg_loss_var": tracker.exp_avg_loss_var,
@@ -274,6 +290,8 @@ def main(args):
         if batch_num >= args.num_training_steps:
             break
 
+    if pending is not None:  # drain the delayed-metrics pipeline
+        consume(pending)
     if hasattr(train_loader, "close"):
         train_loader.close()
     return state
@@ -293,5 +311,6 @@ if __name__ == "__main__":
     logging.info(f"Using seed: {seed}")
     np.random.seed(seed)
     args.seed = seed
+    helpers.select_platform(args)
     helpers.print_args(args)
     main(args)
