@@ -1,0 +1,93 @@
+"""Auxiliary subsystems: logger throttling, HTML gallery, s3 path logic,
+distributed helpers on a single process."""
+import os
+
+import numpy as np
+import pytest
+
+
+# ---------------------------------------------------------------------------
+# logger
+# ---------------------------------------------------------------------------
+
+
+class _RecordingSink:
+    def __init__(self):
+        self.scalars = []
+        self.batch_num = 0
+
+    def add_scalar(self, name, value):
+        self.scalars.append((self.batch_num, name, value))
+
+    def add_figure(self, name, value):
+        pass
+
+    def add_scalars(self, name, value):
+        pass
+
+
+def test_logger_frequency_throttle(tmp_path):
+    """Per-metric frequency throttling (reference simple_logger.py:67-74):
+    a scalar is forwarded at most once per logging_freq batches."""
+    from ml_mdm_tpu.utils.simple_logger import Logger
+
+    logger = Logger(str(tmp_path), logging_freq=5)
+    sink = _RecordingSink()
+    sink.next_logger = None
+    logger.next_logger = sink
+    for step in range(20):
+        logger.batch_num = step
+        logger.add_scalar("loss", float(step))
+    steps = [s for s, n, v in sink.scalars if n == "loss"]
+    assert len(steps) <= 5, steps
+    assert steps == sorted(steps)
+
+
+def test_html_gallery(tmp_path):
+    from ml_mdm_tpu.generate_html import create_html
+
+    items = [(f"img_{i}.png", f"caption {i}") for i in range(4)]
+    out = tmp_path / "index.html"
+    create_html(str(out), len(items), items)
+    html = out.read_text()
+    assert "img_2.png" in html and "caption 3" in html
+
+
+# ---------------------------------------------------------------------------
+# s3 helpers (pure logic; no network)
+# ---------------------------------------------------------------------------
+
+
+def test_parse_s3_path():
+    from ml_mdm_tpu.s3_helpers import parse_s3_path
+
+    b, k = parse_s3_path("s3://mlx/datasets/cc12m-64x64/images_001.tsv")
+    assert b == "mlx" and k == "datasets/cc12m-64x64/images_001.tsv"
+    with pytest.raises(ValueError):
+        parse_s3_path("/local/path.tsv")
+
+
+def test_shard_for_node():
+    from ml_mdm_tpu.s3_helpers import shard_for_node
+
+    paths = [f"p{i}" for i in range(10)]
+    shards = [shard_for_node(paths, n, 3) for n in range(3)]
+    flat = sorted(p for s in shards for p in s)
+    assert flat == sorted(paths)          # complete
+    assert not set(shards[0]) & set(shards[1])  # disjoint
+
+
+# ---------------------------------------------------------------------------
+# distributed (single process)
+# ---------------------------------------------------------------------------
+
+
+def test_distributed_single_process():
+    from ml_mdm_tpu import distributed as dist
+
+    local, rank, world = dist.init_distributed_singlenode()
+    assert rank == 0 and world >= 1
+    assert dist.get_rank() == 0
+    assert dist.get_world_size() >= 1
+    dist.barrier("test")  # no-op single process but must not raise
+    dist.print0("rank0 print works")
