@@ -35,19 +35,20 @@ class RateLimiter:
     """Token-bucket byte-rate cap shared by download threads."""
 
     def __init__(self, bytes_per_sec: float = 0):
+        import threading
+
         self.rate = bytes_per_sec
         self._allow_at = time.monotonic()
+        self._lock = threading.Lock()
 
     def consume(self, nbytes: int):
         if self.rate <= 0:
             return
-        import threading
-
-        with getattr(self, "_lock", threading.Lock()) as _:
-            delay = nbytes / self.rate
+        with self._lock:
             now = time.monotonic()
-            self._allow_at = max(self._allow_at, now) + delay
-            sleep = self._allow_at - now - delay
+            start = max(self._allow_at, now)
+            self._allow_at = start + nbytes / self.rate
+            sleep = start - now
         if sleep > 0:
             time.sleep(sleep)
 

@@ -91,3 +91,49 @@ def test_distributed_single_process():
     assert dist.get_world_size() >= 1
     dist.barrier("test")  # no-op single process but must not raise
     dist.print0("rank0 print works")
+
+
+# ---------------------------------------------------------------------------
+# tar downloader (local-file path; no network)
+# ---------------------------------------------------------------------------
+
+
+def test_download_tar_from_index_local(tmp_path):
+    """Local shards: fetch + TSV tar-column rewrite, node sharding."""
+    from ml_mdm_tpu.clis import download_tar_from_index as dl
+
+    src_dir = tmp_path / "src"
+    os.makedirs(src_dir)
+    for i in range(4):
+        (src_dir / f"shard_{i}.tar").write_bytes(b"x" * 100)
+    index = tmp_path / "index.tsv"
+    with open(index, "w") as f:
+        f.write("tar\tfile\tcaption\n")
+        for i in range(4):
+            f.write(f"{src_dir}/shard_{i}.tar\timg_{i}.jpg\tcap {i}\n")
+
+    dest = tmp_path / "dest"
+    out = dl.main([
+        "--index-file", str(index),
+        "--dest-dir", str(dest),
+        "--node-id", "0", "--num-nodes", "2",
+        "--num-workers", "2",
+    ])
+    header, rows = dl.read_index(out)
+    assert header == ["tar", "file", "caption"]
+    assert len(rows) == 2  # half the shards for node 0 of 2
+    for row in rows:
+        assert row[0].startswith(str(dest))
+        assert os.path.exists(row[0])
+
+
+def test_rate_limiter_caps_throughput():
+    import time as _time
+
+    from ml_mdm_tpu.clis.download_tar_from_index import RateLimiter
+
+    rl = RateLimiter(bytes_per_sec=10000)
+    t0 = _time.monotonic()
+    for _ in range(5):
+        rl.consume(1000)  # 5kB at 10kB/s -> >= ~0.4s
+    assert _time.monotonic() - t0 >= 0.3
