@@ -1,0 +1,155 @@
+"""Pipeline feature coverage: img2img partial diffusion, trajectory
+output, tanh output bound, VDM loss weights, nested mixed_ratio +
+double-loss training."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ml_mdm_tpu.config import (
+    get_model,
+    get_model_config_cls,
+    get_pipeline,
+    get_pipeline_config_cls,
+)
+from ml_mdm_tpu.models.layers import ResNetConfig
+from ml_mdm_tpu.models.unet import UNetConfig
+from ml_mdm_tpu.samplers import SamplerConfig
+
+import ml_mdm_tpu.diffusion  # noqa: F401 (registry)
+import ml_mdm_tpu.models.nested_unet  # noqa: F401
+
+
+RC = ResNetConfig(num_groups_norm=8, dropout=0.0, use_attention_ffn=False)
+
+
+def _tiny_pipe(**diff_over):
+    cfg = get_model_config_cls("unet")(
+        num_resnets_per_resolution="1,1", resolution_channels="16,32",
+        attention_levels="1", num_attention_layers="1",
+        conditioning_feature_dim=16, masked_cross_attention=0,
+        resnet_config=RC,
+    )
+    dcfg = get_pipeline_config_cls("unet")(
+        sampler_config=SamplerConfig(num_diffusion_steps=20), **diff_over
+    )
+    pipe = get_pipeline("unet")(get_model("unet")(3, 3, cfg), dcfg)
+    params = pipe.init_params(
+        jax.random.PRNGKey(0), image_side=16, lm_dim=16, seq_len=4, batch=2
+    )
+    sample = {
+        "lm_outputs": jax.random.normal(jax.random.PRNGKey(1), (2, 4, 16)),
+        "lm_mask": jnp.ones((2, 4)),
+    }
+    return pipe, params, sample
+
+
+def test_partial_diffusion_img2img():
+    pipe, params, sample = _tiny_pipe()
+    src = jnp.tile(
+        jnp.linspace(-0.5, 0.5, 16)[None, :, None, None], (2, 1, 16, 3)
+    )
+    out = pipe.partial_diffusion(
+        params, src, 10, sample, jax.random.PRNGKey(2),
+        num_inference_steps=5, resample_steps=True,
+    )
+    out = np.asarray(out)
+    assert out.shape == (2, 16, 16, 3) and np.isfinite(out).all()
+
+
+def test_sample_return_sequence():
+    pipe, params, sample = _tiny_pipe()
+    final, seq = pipe.sample(
+        params, 2, sample, 16, jax.random.PRNGKey(3),
+        num_inference_steps=5, resample_steps=True, return_sequence=True,
+    )
+    assert np.asarray(seq).shape == (5, 2, 16, 16, 3)
+    # final frame of the trajectory equals the (clipped) final output
+    np.testing.assert_allclose(
+        np.clip(np.asarray(seq)[-1], -1, 1), np.asarray(final), atol=1e-6
+    )
+
+
+def test_model_output_scale_bounds_prediction():
+    """model_output_scale > 0 bounds raw predictions by s*tanh(x/s)
+    (reference diffusion.py:53-87)."""
+    pipe, params, sample = _tiny_pipe(model_output_scale=0.3)
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, 16, 16, 3)) * 10
+    t = jnp.full((2,), 5, jnp.int32)
+    pred = pipe.model(
+        params, x, t, sample["lm_outputs"], sample["lm_mask"], {}
+    )
+    assert float(jnp.max(jnp.abs(pred))) <= 0.3 + 1e-5
+
+
+def test_vdm_loss_weights_change_loss():
+    pipe_a, params, sample = _tiny_pipe(use_vdm_loss_weights=False)
+    pipe_b, _, _ = _tiny_pipe(use_vdm_loss_weights=True)
+    batch = dict(sample, images=jax.random.normal(
+        jax.random.PRNGKey(5), (2, 16, 16, 3)
+    ))
+    la, *_, wa = pipe_a.get_loss(params, batch, jax.random.PRNGKey(6))
+    lb, *_, wb = pipe_b.get_loss(params, batch, jax.random.PRNGKey(6))
+    assert wa is None and wb is not None
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=1e-6)
+    assert np.isfinite(np.asarray(wb)).all()
+
+
+def _nested_pipe(**diff_over):
+    inner = UNetConfig(
+        nesting=True, num_resnets_per_resolution="1,1",
+        resolution_channels="16,32", attention_levels="1",
+        num_attention_layers="1", conditioning_feature_dim=16,
+        masked_cross_attention=0, micro_conditioning="scale:8",
+        resnet_config=RC,
+    )
+    cfg = get_model_config_cls("nested_unet")(
+        inner_config=inner, num_resnets_per_resolution="1,1",
+        resolution_channels="8,16", attention_levels="",
+        num_attention_layers="0", conditioning_feature_dim=16,
+        masked_cross_attention=0, temporal_dim=64,
+        micro_conditioning="scale:16", resnet_config=RC,
+    )
+    dcfg = get_pipeline_config_cls("nested_unet")(
+        sampler_config=SamplerConfig(num_diffusion_steps=20), **diff_over
+    )
+    pipe = get_pipeline("nested_unet")(
+        get_model("nested_unet")(3, 3, cfg), dcfg
+    )
+    params = pipe.init_params(
+        jax.random.PRNGKey(0), image_side=16, lm_dim=16, seq_len=4, batch=4
+    )
+    sample = {
+        "lm_outputs": jax.random.normal(jax.random.PRNGKey(1), (4, 4, 16)),
+        "lm_mask": jnp.ones((4, 4)),
+    }
+    return pipe, params, sample
+
+
+def test_nested_double_loss_with_weights():
+    pipe, params, sample = _nested_pipe(
+        use_double_loss=True, multi_res_weights="4:1",
+    )
+    batch = dict(sample, images=jax.random.normal(
+        jax.random.PRNGKey(7), (4, 16, 16, 3)
+    ))
+    losses, *_ = pipe.get_loss(params, batch, jax.random.PRNGKey(8))
+    assert np.isfinite(np.asarray(losses)).all()
+
+
+def test_nested_mixed_ratio_trains():
+    """mixed_ratio 2:1 — hi-res loss computed on the first half of the
+    batch only (reference diffusion.py:262-274,308-313)."""
+    # shipped reference configs pair mixed_ratio with no_use_residual=true
+    # (cc12m_256x256.yaml); residual recombination asserts against mixing
+    pipe, params, sample = _nested_pipe(
+        use_double_loss=True, mixed_ratio="2:1", no_use_residual=True,
+    )
+    assert pipe.mixed_ratio is not None
+    batch = dict(sample, images=jax.random.normal(
+        jax.random.PRNGKey(9), (4, 16, 16, 3)
+    ))
+    losses, *_ = pipe.get_loss(params, batch, jax.random.PRNGKey(10))
+    losses = np.asarray(losses)
+    assert np.isfinite(losses).all()
