@@ -44,21 +44,24 @@ def main():
     mask = jnp.ones((batch, 32), jnp.bfloat16)
     sample = {"lm_outputs": lm, "lm_mask": mask}
 
-    def run(k):
+    # params/sample must be jit ARGUMENTS: closed-over arrays are lowered
+    # into the HLO as literal constants (hundreds of MB of weights), which
+    # bloats the program beyond what remote-compile setups can ship
+    def run(p, s, k):
         return pipeline.sample(
-            params, batch, sample, side, k,
+            p, batch, s, side, k,
             num_inference_steps=steps, resample_steps=True, ddim_eta=0.0,
         )
 
     run_jit = jax.jit(run)
     # warmup/compile
-    out = run_jit(jax.random.PRNGKey(2))
+    out = run_jit(params, sample, jax.random.PRNGKey(2))
     out.block_until_ready()
 
     n_iters = 3
     t0 = time.perf_counter()
     for i in range(n_iters):
-        out = run_jit(jax.random.PRNGKey(3 + i))
+        out = run_jit(params, sample, jax.random.PRNGKey(3 + i))
     out.block_until_ready()
     dt = (time.perf_counter() - t0) / n_iters
 

@@ -167,18 +167,33 @@ def main(args, negative_prompt=None, guidance_scale=1.0, ddim_eta=None,
     if ddim_eta is not None:
         sample_kwargs["ddim_eta"] = ddim_eta
 
+    # jit per batch size (the last batch may be ragged), with params as an
+    # explicit argument — closing over them would bake the weights into
+    # the HLO as literal constants
+    jit_cache = {}
+
+    def sample_jit(b):
+        if b not in jit_cache:
+            def f(p, lm, mask, k):
+                s = {"lm_outputs": lm, "lm_mask": mask}
+                return pipeline.sample(
+                    p, b, s, image_side, k,
+                    guidance_scale=guidance_scale, **sample_kwargs,
+                )
+
+            jit_cache[b] = jax.jit(f)
+        return jit_cache[b]
+
     out_idx = 0
     manifest = {}
     for batch in cached:
         b = len(batch["captions"])
-        sample = {
-            "lm_outputs": jnp.asarray(batch["lm_outputs"]),
-            "lm_mask": jnp.asarray(batch["lm_mask"]),
-        }
         key, k_s = jax.random.split(key)
-        out = pipeline.sample(
-            params, b, sample, image_side, k_s,
-            guidance_scale=guidance_scale, **sample_kwargs,
+        out = sample_jit(b)(
+            params,
+            jnp.asarray(batch["lm_outputs"]),
+            jnp.asarray(batch["lm_mask"]),
+            k_s,
         )
         out = np.asarray(jnp.clip(out, -1, 1))
         for i, cap in enumerate(batch["captions"]):

@@ -204,8 +204,20 @@ def generate(
                 }
                 yield _grid(np.clip(np.asarray(x), -1, 1)), info
         return it()
-    out = pipeline.sample(
-        models["params"], batch_size, sample, image_side, key, **kwargs
+    # jit with params/lm as arguments (closing over them would embed the
+    # weights in the HLO); cache per (batch, steps, cfg) shape signature
+    sig = (batch_size, num_inference_steps, use_cfg, guidance_scale,
+           ddim_eta, str(kwargs))
+    jit_cache = models.setdefault("_jit_cache", {})
+    if sig not in jit_cache:
+        def f(p, lm, mask, k):
+            return pipeline.sample(
+                p, batch_size, {"lm_outputs": lm, "lm_mask": mask},
+                image_side, k, **kwargs,
+            )
+        jit_cache[sig] = jax.jit(f)
+    out = jit_cache[sig](
+        models["params"], sample["lm_outputs"], sample["lm_mask"], key
     )
     return _grid(np.clip(np.asarray(out), -1, 1)), {
         "steps": num_inference_steps,
