@@ -12,7 +12,12 @@ REF_PATH = "/root/reference/ml-mdm-matryoshka"
 
 
 def _stub(name, **attrs):
+    import importlib.machinery
+
     mod = types.ModuleType(name)
+    # a real-looking spec: transformers (and others) probe
+    # find_spec()/module.__spec__ and choke on spec-less fakes
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
     for k, v in attrs.items():
         setattr(mod, k, v)
     sys.modules.setdefault(name, mod)
