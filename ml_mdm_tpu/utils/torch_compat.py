@@ -206,6 +206,42 @@ def params_to_torch_state_dict(params) -> Dict[str, np.ndarray]:
     return out
 
 
+class _DummyPickled:
+    """Placeholder for classes that no longer import (old checkpoints
+    pickle argparse Namespaces holding reference dataclasses/enums —
+    the reference needed fix_old_checkpoints.mimic_old_modules for
+    this; tolerating *any* missing class is strictly more robust)."""
+
+    def __init__(self, *a, **k):
+        pass
+
+    def __setstate__(self, state):
+        if isinstance(state, dict):
+            self.__dict__.update(state)
+
+
+def _tolerant_pickle_module():
+    import pickle
+    import types
+
+    class Unpickler(pickle.Unpickler):
+        def find_class(self, module, name):
+            try:
+                return super().find_class(module, name)
+            except (ImportError, AttributeError):
+                logging.debug(
+                    f"checkpoint references missing {module}.{name}; "
+                    "substituting placeholder"
+                )
+                return type(name, (_DummyPickled,), {})
+
+    mod = types.ModuleType("ml_mdm_tpu_tolerant_pickle")
+    mod.Unpickler = Unpickler
+    mod.load = lambda f, **kw: Unpickler(f, **kw).load()
+    mod.loads = lambda data, **kw: pickle.loads(data, **kw)
+    return mod
+
+
 def load_torch_checkpoint(
     fname: str, params_template
 ) -> Tuple[Any, Dict[str, Any]]:
@@ -214,7 +250,8 @@ def load_torch_checkpoint(
     import torch
 
     checkpoint = torch.load(
-        fname, map_location="cpu", weights_only=False
+        fname, map_location="cpu", weights_only=False,
+        pickle_module=_tolerant_pickle_module(),
     )
     state_dict = checkpoint.get("state_dict", checkpoint)
     params, unmatched, unfilled = torch_state_dict_to_params(

@@ -137,3 +137,45 @@ def test_rate_limiter_caps_throughput():
     for _ in range(5):
         rl.consume(1000)  # 5kB at 10kB/s -> >= ~0.4s
     assert _time.monotonic() - t0 >= 0.3
+
+
+def test_checkpoint_load_tolerates_missing_classes(tmp_path):
+    """Old reference checkpoints pickle args Namespaces holding classes
+    from modules that do not exist here; loading must survive
+    (fix_old_checkpoints parity, strictly more robust)."""
+    import sys
+    import types
+
+    import jax.numpy as jnp
+    import torch
+
+    from ml_mdm_tpu.utils.torch_compat import load_torch_checkpoint
+
+    # fabricate a class in a throwaway module, pickle it, delete module
+    mod = types.ModuleType("vanished_reference_module")
+
+    class OldConfig:
+        def __init__(self):
+            self.lr = 5e-5
+
+    OldConfig.__module__ = "vanished_reference_module"
+    OldConfig.__qualname__ = "OldConfig"
+    mod.OldConfig = OldConfig
+    sys.modules["vanished_reference_module"] = mod
+
+    fname = tmp_path / "old.pth"
+    torch.save(
+        {
+            "state_dict": {"w": torch.ones(3)},
+            "batch_num": 7,
+            "args": OldConfig(),
+        },
+        str(fname),
+    )
+    del sys.modules["vanished_reference_module"]
+
+    template = {"w": jnp.zeros((3,))}
+    params, other = load_torch_checkpoint(str(fname), template)
+    assert other["batch_num"] == 7
+    assert float(params["w"][0]) == 1.0
+    assert other["args"].__dict__.get("lr") == 5e-5  # state preserved
