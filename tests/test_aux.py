@@ -179,3 +179,35 @@ def test_checkpoint_load_tolerates_missing_classes(tmp_path):
     assert other["batch_num"] == 7
     assert float(params["w"][0]) == 1.0
     assert other["args"].__dict__.get("lr") == 5e-5  # state preserved
+
+
+def test_scraper_parquet_to_tsv_and_split(tmp_path):
+    """img2dataset shard postprocessing: parquet -> (tar,file,caption)
+    TSV, then train/validation index split (scrape_cc12m.py parity)."""
+    pd = pytest.importorskip("pandas")
+    from ml_mdm_tpu.clis.scrape_cc12m import convert_parquets, split_index
+
+    out = str(tmp_path)
+    for shard in ("00000", "00001", "00002"):
+        df = pd.DataFrame(
+            {
+                "key": [f"{shard}{i}" for i in range(3)],
+                "caption": ["a cat", "tab\there", "ok"],
+                "status": ["success", "success", "failed"],
+            }
+        )
+        df.to_parquet(os.path.join(out, f"{shard}.parquet"))
+        open(os.path.join(out, f"{shard}.tar"), "wb").write(b"")
+
+    tsvs = convert_parquets(out)
+    assert len(tsvs) == 3
+    lines = open(tsvs[0]).read().splitlines()
+    assert lines[0] == "tar\tfile\tcaption"
+    assert len(lines) == 3  # failed row dropped
+    assert "tab here" in lines[2]  # tab in caption sanitised
+
+    split_index(out, validation_shards=1)
+    train = open(os.path.join(out, "training.tsv")).read().splitlines()
+    val = open(os.path.join(out, "validation.tsv")).read().splitlines()
+    assert train[0] == "filename" and len(train) == 3
+    assert len(val) == 2
