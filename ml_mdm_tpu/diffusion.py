@@ -67,10 +67,15 @@ class Model:
         return self.vision_module.input_channels
 
     def __call__(self, params, x_t, times, lm_outputs, lm_mask, micros,
-                 train=False):
+                 train=False, dropout_rng=None):
+        rngs = (
+            {"dropout": dropout_rng}
+            if (train and dropout_rng is not None)
+            else None
+        )
         out = self.vision_module.apply(
             {"params": params}, x_t, times, lm_outputs, lm_mask, micros,
-            train=train,
+            train=train, rngs=rngs,
         )
         if self._output_scale != 0:
             s = self._output_scale
@@ -130,6 +135,7 @@ class Diffusion:
         images = sample["images"]
         lm_outputs, lm_mask = sample["lm_outputs"], sample["lm_mask"]
 
+        key, k_drop = jax.random.split(key)
         eps, g, g_last, weights, time = self.sampler.get_eps_time(key, images)
         if not self._config.use_vdm_loss_weights:
             weights = None
@@ -139,7 +145,7 @@ class Diffusion:
         )
         micros = self.get_micro_conditioning(sample)
         means = self.model(params, x_t, time, lm_outputs, lm_mask, micros,
-                           train=train)
+                           train=train, dropout_rng=k_drop)
         tgt = self.sampler.get_prediction_targets(
             images, eps, g, g_last,
             self._config.sampler_config.loss_target_type,
@@ -259,13 +265,18 @@ class NestedModel(Model):
         return [pred, pred_low] + list(p_t[2:])
 
     def __call__(self, params, x_t, times, lm_outputs, lm_mask, micros,
-                 train=False, mixed_ratio=None):
+                 train=False, mixed_ratio=None, dropout_rng=None):
         batch = x_t[0].shape[0]
         if mixed_ratio is not None:
             x_t = [x[: int(m * x.shape[0])] for x, m in zip(x_t, mixed_ratio)]
+        rngs = (
+            {"dropout": dropout_rng}
+            if (train and dropout_rng is not None)
+            else None
+        )
         p_t = self.vision_module.apply(
             {"params": params}, x_t, times, lm_outputs, lm_mask, micros,
-            train=train,
+            train=train, rngs=rngs,
         )
         if self._output_scale != 0:
             s = self._output_scale
@@ -345,7 +356,7 @@ class NestedDiffusion(Diffusion):
         istime = [False] + list(self.vision_module.is_temporal) \
             if hasattr(self.vision_module, "is_temporal") else [False] * len(scales)
 
-        k_et, k_renoise = jax.random.split(key)
+        k_et, k_renoise, k_drop = jax.random.split(key, 3)
         eps, g, g_last, weights, time = self.sampler.get_eps_time(
             k_et, images
         )
@@ -391,7 +402,7 @@ class NestedDiffusion(Diffusion):
         x_t = self.sampler.get_xt(images_list, eps_list, g_list, scales)
         p_t = self.model(
             params, x_t, time, lm_outputs, lm_mask, micros, train=train,
-            mixed_ratio=self.mixed_ratio,
+            mixed_ratio=self.mixed_ratio, dropout_rng=k_drop,
         )
 
         tgt = self.sampler.get_prediction_targets(

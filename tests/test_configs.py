@@ -109,3 +109,43 @@ def test_registry_builds_all_models():
         pipe_cfg = get_pipeline_config_cls(arch)()
         pipeline = get_pipeline(arch)(module, pipe_cfg)
         assert pipeline.vision_module is module
+
+
+def test_cifar10_categorical_recipe():
+    """cifar10_32x32: categorical (one-hot) conditioning end to end —
+    config parse, LM build, one loss evaluation."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from ml_mdm_tpu.config import get_model, get_pipeline
+    from ml_mdm_tpu.language_models import factory
+
+    os.chdir(REPO)
+    args = get_arguments(
+        args=["--config_path", "configs/models/cifar10_32x32.yaml"],
+        mode="trainer",
+    )
+    assert args.categorical_conditioning == 1
+    tokenizer, lm = factory.create_lm(args)
+    assert lm.embed_dim == tokenizer.vocab_size == 13
+
+    args.unet_config.conditioning_feature_dim = lm.embed_dim
+    # shrink for CPU: one resnet per level, no attention
+    args.unet_config.num_resnets_per_resolution = [1, 1]
+    args.unet_config.resolution_channels = [32, 64]
+    args.unet_config.attention_levels = []
+    args.unet_config.num_attention_layers = [0, 0]
+    module = get_model(args.model)(3, 3, args.unet_config)
+    pipe = get_pipeline(args.model)(module, args.diffusion_config)
+    params = pipe.init_params(
+        jax.random.PRNGKey(0), image_side=32, lm_dim=13, seq_len=1, batch=2
+    )
+    out, mask = lm({"tokens": np.array([[1, 5], [1, 9]])}, tokenizer)
+    batch = {
+        "images": jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3)),
+        "lm_outputs": jnp.asarray(out),
+        "lm_mask": jnp.ones(out.shape[:2]),
+    }
+    losses, *_ = pipe.get_loss(params, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(np.asarray(losses)).all()
