@@ -25,6 +25,72 @@ FLOPS_PER_SAMPLE = 358.5e9 * 50  # fwd GF/image x DDIM steps
 PEAK_TFLOPS = {"TPU v5 lite": 197.0, "TPU v5": 459.0}
 
 
+def train_256(batch: int = 8):
+    """Secondary benchmark (BASELINE.json: '256px train step/s'): one
+    full train step (fwd+bwd+clip+adam+EMA) of the real cc12m_256x256
+    nested architecture, remat on, bf16 compute, synthetic batch.
+
+    Run with: python bench.py --train256
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ml_mdm_tpu import trainer
+    from ml_mdm_tpu.config import get_arguments, get_model, get_pipeline
+
+    args = get_arguments(
+        args=["--config_path", "configs/models/cc12m_256x256.yaml"],
+        mode="trainer",
+    )
+    args.unet_config.conditioning_feature_dim = 2048
+    module = get_model(args.model)(
+        3, 3, args.unet_config, dtype=jnp.bfloat16
+    )
+    pipeline = get_pipeline(args.model)(module, args.diffusion_config)
+    params = pipeline.init_params(
+        jax.random.PRNGKey(0), image_side=256, lm_dim=2048, seq_len=32
+    )
+    tcfg = trainer.TrainerConfig(
+        lr=5e-5, warmup_steps=10, gradient_clip_norm=2.0, remat=True
+    )
+    opt, _ = trainer.make_optimizer(tcfg)
+    state = trainer.TrainState.create(params, opt)
+    del params
+    step = jax.jit(
+        trainer.make_train_step(pipeline, opt, tcfg,
+                                compute_dtype=jnp.bfloat16),
+        donate_argnums=(0,),
+    )
+    b = batch
+    batch_data = {
+        "images": jnp.zeros((b, 256, 256, 3), jnp.float32),
+        "lm_outputs": jnp.zeros((b, 32, 2048), jnp.float32),
+        "lm_mask": jnp.ones((b, 32), jnp.float32),
+    }
+    state, m = step(state, batch_data, jax.random.PRNGKey(1))  # compile
+    jax.block_until_ready(m)
+    n = 5
+    t0 = time.perf_counter()
+    for i in range(n):
+        state, m = step(state, batch_data, jax.random.PRNGKey(2 + i))
+    jax.block_until_ready(m)
+    dt = (time.perf_counter() - t0) / n
+    # baseline: 1496 GF/image fwd+bwd (XLA cost analysis) => A100 eager
+    # torch at 25% MFU (78 TF/s) sustains 52.1 images/s
+    print(
+        json.dumps(
+            {
+                "metric": f"256px train step/s (nested_unet, bs{b}, "
+                          "bf16, remat)",
+                "value": round(1.0 / dt, 3),
+                "unit": "steps/sec/chip",
+                "images_per_sec": round(b / dt, 2),
+                "vs_baseline": round((b / dt) / 52.1, 3),
+            }
+        )
+    )
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -87,4 +153,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--train256" in sys.argv:
+        train_256()
+    else:
+        main()

@@ -15,10 +15,12 @@ Semantics preserved (reference cites):
   multi_res_weights (diffusion.py:363-387), mixed_ratio partial batches
   (diffusion.py:262-274, 308-313) as *static* slices under jit.
 
-The ``no_use_residual=False`` low-res residual recombination branch of the
-reference is intentionally not replicated: it is unreachable-correct there
-(unbound ``ratio``, diffusion.py:288 — SURVEY.md quirk #2) and every shipped
-config sets no_use_residual=true. We raise if a config requests it.
+The ``no_use_residual=False`` low-res residual recombination branch is
+broken in the reference (unbound ``ratio``, diffusion.py:288 — SURVEY.md
+quirk #2; every shipped config sets no_use_residual=true). Here it is
+implemented as intended (NestedModel._low_res_residual: low-res x0
+prediction, clip, bicubic upsample, recombine in prediction space), with
+mixed-ratio batches explicitly rejected.
 """
 from __future__ import annotations
 
@@ -186,6 +188,8 @@ class Diffusion:
             sample["lm_mask"],
             micros,
             k_loop,
+            params=params,
+            model_apply=self.model,
             **kwargs,
         )
 
@@ -476,5 +480,7 @@ class NestedDiffusion(Diffusion):
             micros,
             k_loop,
             scales=self.scales,
+            params=params,
+            model_apply=self.model,
             **kwargs,
         )

@@ -561,16 +561,37 @@ class Sampler:
         guidance_scale: float = 1.0,
         resample_steps: bool = False,
         t_start: int = -1,
+        params=None,
+        model_apply=None,
     ):
         """Generator yielding (x0, x_t, (g, g_last)) per step — the streaming
-        path for the web demo. Each step is one jitted call (compiled once)."""
+        path for the web demo. Each step is one jitted call (compiled once).
+
+        Pass (params, model_apply) to keep the weights OUT of the jitted
+        program (a closed-over model_fn bakes them in as HLO constants —
+        prohibitive on remote-compile TPU setups); model_fn is then only
+        used as the eager fallback signature."""
         ts = self._timestep_table(num_inference_steps, resample_steps, t_start)
-        step_fn = jax.jit(
-            lambda x, t, tl, k: self.step(
-                model_fn, x, t, tl, lm_outputs, lm_mask, micros, k,
-                guidance_scale, ddim_eta,
+        if params is not None and model_apply is not None:
+            jit_step = jax.jit(
+                lambda p, x, lm, mask, t, tl, k: self.step(
+                    lambda xx, tt, l2, m2, mic: model_apply(
+                        p, xx, tt, l2, m2, mic
+                    ),
+                    x, t, tl, lm, mask, micros, k,
+                    guidance_scale, ddim_eta,
+                )
             )
-        )
+            step_fn = lambda x, t, tl, k: jit_step(  # noqa: E731
+                params, x, lm_outputs, lm_mask, t, tl, k
+            )
+        else:
+            step_fn = jax.jit(
+                lambda x, t, tl, k: self.step(
+                    model_fn, x, t, tl, lm_outputs, lm_mask, micros, k,
+                    guidance_scale, ddim_eta,
+                )
+            )
         for i in range(len(ts) - 1):
             key, sub = jax.random.split(key)
             t, t_last = int(ts[i]), int(ts[i + 1])
@@ -774,14 +795,30 @@ class NestedSampler(Sampler):
         resample_steps: bool = False,
         t_start: int = -1,
         output_inner: bool = False,
+        params=None,
+        model_apply=None,
     ):
         ts = self._timestep_table(num_inference_steps, resample_steps, t_start)
-        step_fn = jax.jit(
-            lambda xs, t, tl, k: self.step(
-                model_fn, list(xs), t, tl, lm_outputs, lm_mask, micros, k,
-                guidance_scale, ddim_eta, scales=scales,
+        if params is not None and model_apply is not None:
+            jit_step = jax.jit(
+                lambda p, xs, lm, mask, t, tl, k: self.step(
+                    lambda xx, tt, l2, m2, mic: model_apply(
+                        p, xx, tt, l2, m2, mic
+                    ),
+                    list(xs), t, tl, lm, mask, micros, k,
+                    guidance_scale, ddim_eta, scales=scales,
+                )
             )
-        )
+            step_fn = lambda xs, t, tl, k: jit_step(  # noqa: E731
+                params, xs, lm_outputs, lm_mask, t, tl, k
+            )
+        else:
+            step_fn = jax.jit(
+                lambda xs, t, tl, k: self.step(
+                    model_fn, list(xs), t, tl, lm_outputs, lm_mask, micros,
+                    k, guidance_scale, ddim_eta, scales=scales,
+                )
+            )
         xs = tuple(x_t)
         for i in range(len(ts) - 1):
             key, sub = jax.random.split(key)
