@@ -206,8 +206,10 @@ def generate(
         return it()
     # jit with params/lm as arguments (closing over them would embed the
     # weights in the HLO); cache per (batch, steps, cfg) shape signature
+    # threshold_function is read from sampler config at TRACE time, so it
+    # must be part of the cache key or a stale compile would ignore it
     sig = (batch_size, num_inference_steps, use_cfg, guidance_scale,
-           ddim_eta, str(kwargs))
+           ddim_eta, threshold_function, str(kwargs))
     jit_cache = models.setdefault("_jit_cache", {})
     if sig not in jit_cache:
         def f(p, lm, mask, k):

@@ -27,15 +27,24 @@ _logger = logging.getLogger(__name__)
 
 
 def _build() -> bool:
+    # compile to a process-unique temp path and rename into place:
+    # os.rename is atomic, so concurrent processes never dlopen a
+    # half-written .so (each may build its own copy; last rename wins)
+    tmp = f"{_SO}.{os.getpid()}.tmp"
     cmd = [
         "g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC,
-        "-o", _SO, "-ljpeg",
+        "-o", tmp, "-ljpeg",
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _SO)
         return True
     except Exception as exc:  # toolchain/libjpeg missing: fall back
         _logger.debug("native build failed: %s", exc)
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 

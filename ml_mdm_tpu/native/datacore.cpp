@@ -238,6 +238,11 @@ int32_t dc_image_decode_resize_crop(const uint8_t* data, int64_t len,
                                     uint8_t* out) {
   struct jpeg_decompress_struct cinfo;
   JErr jerr;
+  // buffers declared BEFORE setjmp: a longjmp from mid-decode lands back
+  // here and returns normally, so their destructors still run (corrupt
+  // web-scraped JPEGs must not leak per-image allocations)
+  std::vector<uint8_t> img;
+  std::vector<uint8_t> resized;
   cinfo.err = jpeg_std_error(&jerr.mgr);
   jerr.mgr.error_exit = jerr_exit;
   if (setjmp(jerr.jb)) {
@@ -263,7 +268,7 @@ int32_t dc_image_decode_resize_crop(const uint8_t* data, int64_t len,
   }
   jpeg_start_decompress(&cinfo);
   int w = cinfo.output_width, h = cinfo.output_height;
-  std::vector<uint8_t> img((size_t)w * h * 3);
+  img.resize((size_t)w * h * 3);
   while (cinfo.output_scanline < cinfo.output_height) {
     uint8_t* row = img.data() + (size_t)cinfo.output_scanline * w * 3;
     jpeg_read_scanlines(&cinfo, &row, 1);
@@ -272,7 +277,7 @@ int32_t dc_image_decode_resize_crop(const uint8_t* data, int64_t len,
   jpeg_destroy_decompress(&cinfo);
 
   // resize smallest side
-  std::vector<uint8_t> resized;
+
   const uint8_t* cur = img.data();
   int cw = w, ch = h;
   if (smaller_side > 0 && std::min(w, h) != smaller_side) {
@@ -333,7 +338,8 @@ void* dc_tar_open(const char* path) {
   TarIndex* t = new TarIndex();
   t->f = f;
   char hdr[512];
-  std::string longname;
+  std::string longname;   // GNU 'L' override for the next entry
+  std::string pax_path;   // PAX 'x' path= override for the next entry
   int64_t off = 0;
   while (std::fread(hdr, 1, 512, f) == 512) {
     off += 512;
@@ -346,15 +352,33 @@ void* dc_tar_open(const char* path) {
       name = prefix + "/" + name;
     }
     int64_t blocks = (size + 511) / 512;
-    if (type == 'L') {  // GNU long name: payload is the real name
+    if (type == 'L' || type == 'x' || type == 'g') {
+      // metadata entry whose payload modifies the next (or all) entries
       std::vector<char> buf(size);
       if (std::fread(buf.data(), 1, size, f) != (size_t)size) break;
-      longname.assign(buf.data(), strnlen(buf.data(), size));
       std::fseek(f, blocks * 512 - size, SEEK_CUR);
       off += blocks * 512;
-      continue;
+      if (type == 'L') {  // GNU long name: payload is the real name
+        longname.assign(buf.data(), strnlen(buf.data(), size));
+      } else if (type == 'x') {
+        // PAX records: "LEN key=value\n" (python tarfile default format)
+        size_t p = 0;
+        while (p < (size_t)size) {
+          size_t sp = p;
+          while (sp < (size_t)size && buf[sp] != ' ') ++sp;
+          long rec_len = std::strtol(&buf[p], nullptr, 10);
+          if (rec_len <= 0 || p + rec_len > (size_t)size) break;
+          std::string rec(&buf[sp + 1], rec_len - (sp + 1 - p) - 1);
+          if (rec.rfind("path=", 0) == 0) pax_path = rec.substr(5);
+          p += rec_len;
+        }
+      }
+      continue;  // 'g' (global) records carry nothing we need
     }
-    if (!longname.empty()) {
+    if (!pax_path.empty()) {
+      name = pax_path;
+      pax_path.clear();
+    } else if (!longname.empty()) {
       name = longname;
       longname.clear();
     }

@@ -172,24 +172,33 @@ class _TarCache:
             return tarfile.open(tar_path, "r")
 
     def read_member(self, tar_path: str, member: str) -> Optional[bytes]:
-        with self._lock:
-            tf = self._cache.get(tar_path)
-            if tf is None:
-                if len(self._cache) >= self.capacity:
-                    _, old = self._cache.popitem()
-                    if hasattr(old, "close"):
-                        old.close()
-                tf = self._open(tar_path)
-                self._cache[tar_path] = tf
-        if isinstance(tf, tarfile.TarFile):
+        for attempt in range(2):
             with self._lock:
-                try:
-                    f = tf.extractfile(member)
-                    return f.read() if f is not None else None
-                except KeyError:
+                tf = self._cache.get(tar_path)
+                if tf is None:
+                    if len(self._cache) >= self.capacity:
+                        # evict WITHOUT closing: another worker may hold a
+                        # reference outside this lock; the fd closes when
+                        # the last reference is garbage collected
+                        self._cache.popitem()
+                    tf = self._open(tar_path)
+                    self._cache[tar_path] = tf
+            try:
+                if isinstance(tf, tarfile.TarFile):
+                    with self._lock:
+                        f = tf.extractfile(member)
+                        return f.read() if f is not None else None
+                return tf.read(member)  # NativeTar: internally locked
+            except KeyError:
+                return None
+            except (OSError, ValueError):
+                # handle raced with close/corruption: reopen once
+                with self._lock:
+                    if self._cache.get(tar_path) is tf:
+                        del self._cache[tar_path]
+                if attempt == 1:
                     return None
-        data = tf.read(member)  # NativeTar: internally locked
-        return data
+        return None
 
 
 def _sample_rows(
@@ -282,6 +291,11 @@ class _Pipeline:
             if data is None:
                 return None
             arr = None
+            smaller_side = (
+                cfg.smaller_side_size
+                if cfg.smaller_side_size != -1
+                else cfg.image_size
+            )
             if cfg.image_size != -1:
                 # C++ fast path: fused JPEG decode + resize + crop with the
                 # GIL released (ml_mdm_tpu/native, replaces mlx.data's
@@ -290,9 +304,7 @@ class _Pipeline:
 
                 arr = native_image.decode_resize_crop(
                     data,
-                    cfg.smaller_side_size
-                    if cfg.smaller_side_size != -1
-                    else cfg.image_size,
+                    smaller_side,
                     cfg.image_size,
                     cfg.random_crop,
                     seed=int(self.rng.integers(1, 2**63)),
@@ -303,7 +315,9 @@ class _Pipeline:
                 except Exception:
                     return None
                 if cfg.image_size != -1:
-                    img = _resize_smallest_side(img, cfg.image_size)
+                    # same geometry as the native path: resize the
+                    # smallest side to smaller_side, then crop image_size
+                    img = _resize_smallest_side(img, smaller_side)
                     img = _crop(
                         img, cfg.image_size, cfg.random_crop, self.rng
                     )
@@ -369,14 +383,22 @@ class _Pipeline:
         return False
 
     def _worker(self):
-        while not self._stop.is_set():
-            row = self._next_row()
-            if row is None:
-                self._put(None)
-                return
-            sample = self._process(row)
-            if sample is not None and not self._put(sample):
-                return
+        try:
+            while not self._stop.is_set():
+                row = self._next_row()
+                if row is None:
+                    return
+                try:
+                    sample = self._process(row)
+                except Exception:
+                    logging.exception("reader worker: sample dropped")
+                    continue
+                if sample is not None and not self._put(sample):
+                    return
+        finally:
+            # ALWAYS post the end-of-stream sentinel: a dead worker that
+            # never signals would leave __iter__ blocked forever
+            self._put(None)
 
     def __iter__(self):
         if not self._started:

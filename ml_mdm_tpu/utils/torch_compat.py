@@ -235,10 +235,16 @@ def _tolerant_pickle_module():
                 )
                 return type(name, (_DummyPickled,), {})
 
+    import io
+
     mod = types.ModuleType("ml_mdm_tpu_tolerant_pickle")
     mod.Unpickler = Unpickler
     mod.load = lambda f, **kw: Unpickler(f, **kw).load()
-    mod.loads = lambda data, **kw: pickle.loads(data, **kw)
+    # loads must be tolerant too: some torch versions unpickle payload
+    # bytes through pickle_module.loads rather than Unpickler/load
+    mod.loads = lambda data, **kw: Unpickler(
+        io.BytesIO(data), **kw
+    ).load()
     return mod
 
 

@@ -107,3 +107,56 @@ def test_reader_uses_native_path():
     assert batch["image"].shape == (2, 40, 40, 3)
     assert batch["image"].dtype == np.uint8
     assert batch["tokens"].ndim == 2
+
+
+def test_tar_pax_format_long_names(tmp_path):
+    """Python tarfile writes PAX format by default; long / non-ASCII
+    member names ride in 'x' extended headers the indexer must honor."""
+    import io as _io
+
+    from ml_mdm_tpu.native.tar import NativeTar
+
+    long_name = "dir/" + "x" * 150 + "/image_é.jpg"
+    payload = b"jpegbytes" * 10
+    path = tmp_path / "pax.tar"
+    with tarfile.open(path, "w", format=tarfile.PAX_FORMAT) as tf:
+        info = tarfile.TarInfo(name=long_name)
+        info.size = len(payload)
+        tf.addfile(info, _io.BytesIO(payload))
+        short = tarfile.TarInfo(name="short.jpg")
+        short.size = 3
+        tf.addfile(short, _io.BytesIO(b"abc"))
+
+    nt = NativeTar(str(path))
+    assert nt.read(long_name) == payload
+    assert nt.read("short.jpg") == b"abc"
+
+
+def test_tar_gnu_format_long_names(tmp_path):
+    import io as _io
+
+    from ml_mdm_tpu.native.tar import NativeTar
+
+    long_name = "g/" + "y" * 140 + ".jpg"
+    path = tmp_path / "gnu.tar"
+    with tarfile.open(path, "w", format=tarfile.GNU_FORMAT) as tf:
+        info = tarfile.TarInfo(name=long_name)
+        info.size = 4
+        tf.addfile(info, _io.BytesIO(b"data"))
+    nt = NativeTar(str(path))
+    assert nt.read(long_name) == b"data"
+
+
+def test_image_decode_corrupt_jpeg_returns_none():
+    from ml_mdm_tpu.native.image import decode_resize_crop
+
+    with tarfile.open(TAR) as tf:
+        member = next(m for m in tf.getmembers() if m.isfile())
+        data = tf.extractfile(member).read()
+    # keep headers, truncate mid-scan: libjpeg errors, wrapper -> None
+    corrupt = data[: len(data) // 2]
+    out = decode_resize_crop(corrupt, 40, 40)
+    # truncated scans either decode partially (finite) or fail cleanly
+    assert out is None or out.shape == (40, 40, 3)
+    garbage = b"\xff\xd8\xff" + b"\x00" * 100
+    assert decode_resize_crop(garbage, 40, 40) is None
