@@ -207,27 +207,56 @@ def _sample_rows(
     num_epochs: int,
     partition_num: int = 0,
     num_partitions: int = 1,
+    shuffle_buffer_size: int = 0,
+    num_kept_files: int = -1,
+    seed: int = 0,
 ):
-    """Yield raw {tar, file, caption, ...} rows, partitioned round-robin."""
+    """Yield raw {tar, file, caption, ...} rows, partitioned round-robin.
+
+    Shuffling (reference: mlx.data shuffle stages) happens at two levels,
+    both deterministic per (seed, epoch): shard order is permuted each
+    epoch, and rows pass through a bounded shuffle buffer."""
     epoch = 0
     while num_epochs == -1 or epoch < num_epochs:
+        rng = np.random.default_rng((seed, epoch))
         idx = 0
-        if is_index_file:
-            for index_row in _read_tsv(file_list):
-                shard = index_row.get("filename") or list(index_row.values())[0]
-                if not os.path.exists(shard):
-                    base = os.path.dirname(os.path.abspath(file_list))
-                    alt = os.path.join(base, shard)
-                    shard = alt if os.path.exists(alt) else shard
-                for row in _read_tsv(shard):
-                    if idx % num_partitions == partition_num:
-                        yield row
-                    idx += 1
-        else:
-            for row in _read_tsv(file_list):
-                if idx % num_partitions == partition_num:
-                    yield row
-                idx += 1
+
+        def raw_rows():
+            if is_index_file:
+                shards = []
+                for index_row in _read_tsv(file_list):
+                    shard = (index_row.get("filename")
+                             or list(index_row.values())[0])
+                    if not os.path.exists(shard):
+                        base = os.path.dirname(os.path.abspath(file_list))
+                        alt = os.path.join(base, shard)
+                        shard = alt if os.path.exists(alt) else shard
+                    shards.append(shard)
+                if num_kept_files > 0:
+                    shards = shards[:num_kept_files]
+                if shuffle_buffer_size > 0:
+                    rng.shuffle(shards)
+                for shard in shards:
+                    yield from _read_tsv(shard)
+            else:
+                yield from _read_tsv(file_list)
+
+        buf: List[Dict[str, str]] = []
+        for row in raw_rows():
+            mine = idx % num_partitions == partition_num
+            idx += 1
+            if not mine:
+                continue
+            if shuffle_buffer_size > 1:
+                if len(buf) < shuffle_buffer_size:
+                    buf.append(row)
+                    continue
+                j = int(rng.integers(0, len(buf)))
+                buf[j], row = row, buf[j]
+            yield row
+        if buf:
+            rng.shuffle(buf)
+            yield from buf
         epoch += 1
         if idx == 0:
             return  # empty dataset: avoid a spin loop
@@ -464,7 +493,11 @@ def get_dataset(
     load_numpy: bool = False,
     is_index_file: bool = False,
 ):
-    rows = _sample_rows(file_list, is_index_file, num_epochs)
+    rows = _sample_rows(
+        file_list, is_index_file, num_epochs,
+        shuffle_buffer_size=config.shuffle_buffer_size,
+        num_kept_files=config.num_kept_files,
+    )
     return _Pipeline(
         rows, tokenizer, batch_size, config, skip_images, load_numpy,
         file_list=file_list,
@@ -484,7 +517,10 @@ def get_dataset_partition(
     is_index_file: bool = False,
 ):
     rows = _sample_rows(
-        file_list, is_index_file, num_epochs, partition_num, num_partitions
+        file_list, is_index_file, num_epochs, partition_num, num_partitions,
+        shuffle_buffer_size=config.shuffle_buffer_size,
+        num_kept_files=config.num_kept_files,
+        seed=partition_num,
     )
     return _Pipeline(
         rows, tokenizer, batch_size, config, skip_images, load_numpy,

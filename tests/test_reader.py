@@ -87,3 +87,51 @@ def test_process_text(tokenizer):
 def test_convert_roundtrip():
     arr = np.frombuffer(b"hello world", dtype=np.uint8)
     assert convert(arr) == "hello world"
+
+
+def test_shuffle_buffer_permutes_rows_deterministically():
+    """shuffle_buffer_size: all rows are yielded exactly once, in a
+    seed-deterministic, non-source order (reference: mlx.data shuffle)."""
+    from ml_mdm_tpu.reader import _sample_rows
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        tsv = os.path.join(d, "rows.tsv")
+        with open(tsv, "w") as f:
+            f.write("tar\tfile\tcaption\n")
+            for i in range(50):
+                f.write(f"t.tar\tf{i}.jpg\tcap {i}\n")
+
+        def run(seed):
+            return [
+                r["file"]
+                for r in _sample_rows(
+                    tsv, False, 1, shuffle_buffer_size=16, seed=seed
+                )
+            ]
+
+        a, b, c = run(0), run(0), run(1)
+    assert sorted(a) == sorted(f"f{i}.jpg" for i in range(50))  # complete
+    assert a == b          # deterministic per seed
+    assert a != c          # seed changes order
+    assert a != [f"f{i}.jpg" for i in range(50)]  # actually shuffled
+
+
+def test_num_kept_files_limits_shards(tmp_path):
+    from ml_mdm_tpu.reader import _sample_rows
+
+    shards = []
+    for s in range(3):
+        p = tmp_path / f"shard{s}.tsv"
+        with open(p, "w") as f:
+            f.write("tar\tfile\tcaption\n")
+            f.write(f"t.tar\ts{s}.jpg\tc\n")
+        shards.append(str(p))
+    index = tmp_path / "index.tsv"
+    with open(index, "w") as f:
+        f.write("filename\n")
+        for p in shards:
+            f.write(p + "\n")
+    rows = list(_sample_rows(str(index), True, 1, num_kept_files=2))
+    assert len(rows) == 2
