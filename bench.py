@@ -91,6 +91,71 @@ def train_256(batch: int = 8):
     )
 
 
+def sample_1024(batch: int = 4, steps: int = 250):
+    """North-star benchmark: 1024px nested2 sampling, demo preset
+    (bs4 @ 250 steps, eta 1 — generate_sample.py:546-552).
+
+    Run with: python bench.py --sample1024
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ml_mdm_tpu.config import get_arguments, get_model, get_pipeline
+
+    args = get_arguments(
+        args=["--config_path", "configs/models/cc12m_1024x1024.yaml"],
+        mode="sampler",
+    )
+    args.unet_config.conditioning_feature_dim = 2048
+    module = get_model(args.model)(
+        3, 3, args.unet_config, dtype=jnp.bfloat16
+    )
+    pipeline = get_pipeline(args.model)(module, args.diffusion_config)
+    params = pipeline.init_params(
+        jax.random.PRNGKey(0), image_side=1024, lm_dim=2048, seq_len=32
+    )
+    params = jax.tree_util.tree_map(
+        lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p,
+        params,
+    )
+    lm = jax.random.normal(
+        jax.random.PRNGKey(1), (batch, 32, 2048), jnp.bfloat16
+    )
+    mask = jnp.ones((batch, 32), jnp.bfloat16)
+
+    def run(p, lm, mask, k):
+        s = {"lm_outputs": lm, "lm_mask": mask}
+        return pipeline.sample(
+            p, batch, s, 1024, k,
+            num_inference_steps=steps, resample_steps=True, ddim_eta=1.0,
+        )
+
+    run_jit = jax.jit(run)
+    out = run_jit(params, lm, mask, jax.random.PRNGKey(2))
+    jax.block_until_ready(out)
+    n = 2
+    t0 = time.perf_counter()
+    for i in range(n):
+        out = run_jit(params, lm, mask, jax.random.PRNGKey(3 + i))
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n
+    sps = batch / dt
+    # 1020.8 GF/image forward (XLA cost analysis: inner 358.5 + 256/1024
+    # shells), x250 steps => 255 TF/sample; A100 eager torch at 25% MFU
+    # (78 TF/s) = 0.306 samples/s
+    print(
+        json.dumps(
+            {
+                "metric": f"1024px samples/sec/chip (DDIM-{steps}, "
+                          f"bs{batch}, bf16, eta1)",
+                "value": round(sps, 4),
+                "unit": "samples/sec/chip",
+                "vs_baseline": round(sps / 0.306, 3),
+            }
+        )
+    )
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -157,5 +222,7 @@ if __name__ == "__main__":
 
     if "--train256" in sys.argv:
         train_256()
+    elif "--sample1024" in sys.argv:
+        sample_1024()
     else:
         main()
