@@ -151,6 +151,19 @@ def main(args):
     state = state.replace(step=jnp.asarray(start_batch_num, jnp.int32))
     del params
 
+    resume_dir = getattr(args, "resume_from_train_state", None)
+    if resume_dir:
+        # exact resume: params + EMA + optimizer state + step from Orbax
+        state, other_items = ckpt.load_train_state(resume_dir, state)
+        start_batch_num = int(state.step)
+        if other_items:
+            tracker.load(
+                float(other_items.get("exp_avg_loss", 0.0)),
+                float(other_items.get("exp_avg_loss_var", 0.0)),
+                float(other_items.get("best_avg_loss", 1e12)),
+            )
+        logging.info(f"Exact resume from {resume_dir} @ {start_batch_num}")
+
     from ml_mdm_tpu.parallel.mesh import create_data_mesh_for_batch
 
     mesh = create_data_mesh_for_batch(

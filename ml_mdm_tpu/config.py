@@ -207,6 +207,9 @@ def _add_trainer_arguments(p):
                    "(memory for FLOPs; use for 1024px training)")
     p.add_argument("--loss-factor", type=float, default=1)
     p.add_argument("--resume-from-ema", action="store_true")
+    p.add_argument("--resume-from-train-state", type=str, default=None,
+                   help="orbax train_state_* dir for exact resume "
+                   "(params+EMA+optimizer state+step)")
     # TPU-native extensions
     p.add_argument("--mesh-shape", type=str, default=None,
                    help="e.g. 'data:8' or 'data:4,fsdp:2' (default: all "

@@ -116,3 +116,32 @@ def test_resume_from_checkpoint(tmp_path):
     )
     state2 = train_parallel.main(args2)
     assert int(state2.step) == 4  # resumed at 2, trained 2 more
+
+
+def test_exact_resume_from_train_state(tmp_path):
+    """--resume-from-train-state restores params+EMA+optimizer+step
+    exactly (Orbax), continuing the optimizer trajectory."""
+    from ml_mdm_tpu.config import get_arguments
+    from ml_mdm_tpu.clis import train_parallel
+
+    os.chdir(REPO)
+    out = tmp_path / "orbax1"
+    args = get_arguments(
+        args=["--config_path", YAML, "--file-list", INDEX,
+              "--output-dir", str(out), "--save-freq", "2",
+              "--num-training-steps", "2"],
+        mode="trainer",
+    )
+    state1 = train_parallel.main(args)
+
+    out2 = tmp_path / "orbax2"
+    args2 = get_arguments(
+        args=["--config_path", YAML, "--file-list", INDEX,
+              "--output-dir", str(out2), "--save-freq", "10",
+              "--num-training-steps", "4",
+              "--resume-from-train-state",
+              str(out / "train_state_000002")],
+        mode="trainer",
+    )
+    state2 = train_parallel.main(args2)
+    assert int(state2.step) == 4
