@@ -75,17 +75,33 @@ class Conv3x3(nn.Module):
 
 
 class GroupNormF32(nn.Module):
-    """GroupNorm with fp32 statistics (TPU-safe under bf16 compute)."""
+    """GroupNorm with fp32 statistics, computed WITHOUT materialising an
+    fp32 copy of the activation: the reductions accumulate in fp32
+    (jnp.mean(dtype=...)), the elementwise normalise stays in the input
+    dtype and fuses into neighbouring ops. At 1024px the bf16->f32
+    round-trip of a whole-tensor cast is pure HBM traffic the thin
+    outer shells cannot afford."""
 
     num_groups: int = 32
 
     @nn.compact
     def __call__(self, x):
-        orig_dtype = x.dtype
-        out = nn.GroupNorm(
-            num_groups=self.num_groups, epsilon=1e-5, dtype=jnp.float32
-        )(x.astype(jnp.float32))
-        return out.astype(orig_dtype)
+        g = self.num_groups
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        shape = x.shape[:-1] + (g, c // g)
+        xg = x.reshape(shape)
+        red = tuple(range(1, len(shape) - 2)) + (len(shape) - 1,)
+        mean = jnp.mean(xg, axis=red, keepdims=True, dtype=jnp.float32)
+        var = jnp.mean(
+            jnp.square(xg.astype(jnp.float32) - mean),
+            axis=red, keepdims=True, dtype=jnp.float32,
+        )
+        inv = jax.lax.rsqrt(var + 1e-5)
+        y = (xg.astype(jnp.float32) - mean) * inv
+        y = y.reshape(x.shape) * scale + bias
+        return y.astype(x.dtype)
 
 
 class LayerNormF32(nn.Module):
