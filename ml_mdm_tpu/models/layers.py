@@ -75,43 +75,80 @@ class Conv3x3(nn.Module):
 
 
 class GroupNormF32(nn.Module):
-    """GroupNorm with fp32 statistics, computed WITHOUT materialising an
-    fp32 copy of the activation: the reductions accumulate in fp32
-    (jnp.mean(dtype=...)), the elementwise normalise stays in the input
-    dtype and fuses into neighbouring ops. At 1024px the bf16->f32
-    round-trip of a whole-tensor cast is pure HBM traffic the thin
-    outer shells cannot afford."""
+    """GroupNorm restructured for TPU memory traffic (profiled on v5e:
+    GN stats + elementwise were 74% of the flagship forward, convs 18%).
+
+    - statistics in ONE pass over the activation: mean and mean-of-
+      squares are sibling reductions over the same input (XLA fuses
+      them into a single read), accumulated in fp32 via reduction
+      dtype — no fp32 copy of the activation is ever materialised;
+    - the normalise itself collapses to a single fused multiply-add in
+      the input dtype: y = x*a + b with per-(batch, channel) fp32
+      coefficients a = scale/std, b = bias - mean*scale/std (tiny
+      tensors). ``affine_coeffs`` exposes (a, b) so callers (ResNet)
+      can fold FiLM time-conditioning into the same FMA."""
 
     num_groups: int = 32
 
-    @nn.compact
     def __call__(self, x):
-        g = self.num_groups
+        a, b = self.affine_coeffs(x)
+        return (x * a.astype(x.dtype) + b.astype(x.dtype)).astype(x.dtype)
+
+    @nn.compact
+    def affine_coeffs(self, x):
+        """(a, b) with y = x*a + b == GroupNorm(x)*scale + bias.
+        Shapes: (B, 1, ..., C) fp32."""
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        shape = x.shape[:-1] + (g, c // g)
-        xg = x.reshape(shape)
-        red = tuple(range(1, len(shape) - 2)) + (len(shape) - 1,)
-        mean = jnp.mean(xg, axis=red, keepdims=True, dtype=jnp.float32)
-        var = jnp.mean(
-            jnp.square(xg.astype(jnp.float32) - mean),
-            axis=red, keepdims=True, dtype=jnp.float32,
-        )
-        inv = jax.lax.rsqrt(var + 1e-5)
-        y = (xg.astype(jnp.float32) - mean) * inv
-        y = y.reshape(x.shape) * scale + bias
-        return y.astype(x.dtype)
+        return group_norm_coeffs(x, scale, bias, self.num_groups)
+
+
+def group_norm_coeffs(x, scale, bias, g, eps: float = 1e-5):
+    """Pure-function core of GroupNormF32.affine_coeffs (also used by the
+    space-to-depth packed ResNet path with repeated scale/bias)."""
+    c = x.shape[-1]
+    shape = x.shape[:-1] + (g, c // g)
+    xg = x.reshape(shape)
+    red = tuple(range(1, len(shape) - 2)) + (len(shape) - 1,)
+    mean = jnp.mean(xg, axis=red, keepdims=True, dtype=jnp.float32)
+    msq = jnp.mean(
+        jnp.square(xg.astype(jnp.float32)), axis=red, keepdims=True,
+        dtype=jnp.float32,
+    )
+    var = jnp.maximum(msq - jnp.square(mean), 0.0)
+    inv = jax.lax.rsqrt(var + eps)  # (B,1,..,g,1)
+    ones = (1,) * (len(x.shape) - 2)
+    inv_c = jnp.broadcast_to(inv, inv.shape[:-2] + (g, c // g)).reshape(
+        (x.shape[0],) + ones + (c,)
+    )
+    mean_c = jnp.broadcast_to(
+        mean, mean.shape[:-2] + (g, c // g)
+    ).reshape((x.shape[0],) + ones + (c,))
+    a = inv_c * scale
+    b = bias - mean_c * a
+    return a, b
 
 
 class LayerNormF32(nn.Module):
+    """LayerNorm with fp32 statistics via reduction dtype — same
+    no-fp32-materialisation treatment as GroupNormF32."""
+
     @nn.compact
     def __call__(self, x):
-        orig_dtype = x.dtype
-        out = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)(
-            x.astype(jnp.float32)
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        mean = jnp.mean(x, axis=-1, keepdims=True, dtype=jnp.float32)
+        msq = jnp.mean(
+            jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True,
+            dtype=jnp.float32,
         )
-        return out.astype(orig_dtype)
+        var = jnp.maximum(msq - jnp.square(mean), 0.0)
+        inv = jax.lax.rsqrt(var + 1e-5)
+        a = (inv * scale).astype(x.dtype)
+        b = (bias - mean * inv * scale).astype(x.dtype)
+        return x * a + b
 
 
 def _maybe_repeat_temb(h: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
@@ -151,19 +188,66 @@ class ResNet(nn.Module):
                 cfg.output_channels, (1, 1), dtype=self.dtype
             )
 
-    def __call__(self, x, temb, train: bool = False):
+    def __call__(self, x, temb, train: bool = False, packed: bool = False):
+        if packed and not self.is_initializing():
+            return self._packed(x, temb, train)
         cfg = self.config
         h = self.conv1(jax.nn.silu(self.norm1(x)))
         t = self.time_layer(jax.nn.silu(temb))  # (B, 2*out)
         t = _maybe_repeat_temb(h, t)
         ta, tb = jnp.split(t, 2, axis=-1)
-        ta = ta[:, None, None, :]
-        tb = tb[:, None, None, :]
-        h = jax.nn.silu(self.norm2(h) * (1.0 + ta) + tb)
+        ta = ta[:, None, None, :].astype(jnp.float32)
+        tb = tb[:, None, None, :].astype(jnp.float32)
+        # fold FiLM into the norm's affine: norm(h)*(1+ta)+tb == h*a'+b'
+        # — one fused multiply-add over the activation instead of three
+        # elementwise passes (unet.py:226-233 semantics preserved)
+        a, b = self.norm2.affine_coeffs(h)
+        a2 = (a * (1.0 + ta)).astype(h.dtype)
+        b2 = (b * (1.0 + ta) + tb).astype(h.dtype)
+        h = jax.nn.silu(h * a2 + b2)
         h = self.drop(h, deterministic=not train)
         h = self.conv2(h)
         if cfg.output_channels != cfg.num_channels:
             x = self.conv3(x)
+        return h + x
+
+    def _packed(self, x, temb, train: bool):
+        """Space-to-depth execution: x is (B,H/2,W/2,4C) in the c*4+dd
+        channel order (ops/space_to_depth.py); computes exactly the same
+        function as the unpacked path with full-width MXU operands."""
+        from ml_mdm_tpu.ops import space_to_depth as s2d
+
+        cfg = self.config
+        p = self.variables["params"]
+        rep = s2d.pack_channel_vector
+        g = cfg.num_groups_norm
+
+        a, b = group_norm_coeffs(
+            x, rep(p["norm1"]["scale"]), rep(p["norm1"]["bias"]), g
+        )
+        h = jax.nn.silu(x * a.astype(x.dtype) + b.astype(x.dtype))
+        h = s2d.packed_conv(
+            h, p["conv1"]["kernel"], p["conv1"].get("bias")
+        )
+        t = self.time_layer(jax.nn.silu(temb))
+        t = _maybe_repeat_temb(h, t)
+        ta, tb = jnp.split(t, 2, axis=-1)
+        ta = rep(ta)[:, None, None, :].astype(jnp.float32)
+        tb = rep(tb)[:, None, None, :].astype(jnp.float32)
+        a2, b2 = group_norm_coeffs(
+            h, rep(p["norm2"]["scale"]), rep(p["norm2"]["bias"]), g
+        )
+        a2 = (a2 * (1.0 + ta)).astype(h.dtype)
+        b2 = (b2 * (1.0 + ta) + tb).astype(h.dtype)
+        h = jax.nn.silu(h * a2 + b2)
+        h = self.drop(h, deterministic=not train)
+        h = s2d.packed_conv(
+            h, p["conv2"]["kernel"], p["conv2"].get("bias")
+        )
+        if cfg.output_channels != cfg.num_channels:
+            x = s2d.packed_conv(
+                x, p["conv3"]["kernel"], p["conv3"].get("bias")
+            )
         return h + x
 
 
@@ -418,7 +502,24 @@ class ResNetBlockStage(nn.Module):
     temporal_pos_emb: bool = False
     temporal_spatial_ds: bool = False
     num_temporal_attention_layers: Optional[int] = None
+    # space-to-depth packed execution for small-channel conv-only stages
+    # (>= this spatial side; 0 disables). See ops/space_to_depth.py.
+    pack_min_side: int = 0
     dtype: Dtype = jnp.float32
+
+    def _use_packing(self, x) -> bool:
+        return (
+            self.pack_min_side > 0
+            and x.shape[1] >= self.pack_min_side
+            and x.shape[1] % 2 == 0
+            and x.shape[2] % 2 == 0
+            and self.num_attention_layers == 0
+            and not (
+                self.num_temporal_attention_layers
+                and self.num_temporal_attention_layers > 0
+            )
+            and not self.temporal_mode
+        )
 
     def setup(self):
         assert not (self.downsample_output and self.upsample_output)
@@ -481,10 +582,18 @@ class ResNetBlockStage(nn.Module):
     ):
         activations = []
         skips = list(skip_activations) if skip_activations is not None else None
+        packed = self._use_packing(x) and not self.is_initializing()
+        if packed:
+            from ml_mdm_tpu.ops import space_to_depth as s2d
+
+            x = s2d.space_to_depth(x)
         for i in range(self.num_residual_blocks):
             if skips is not None:
-                x = jnp.concatenate([x, skips.pop(0)], axis=-1)
-            x = self.resnets[i](x, temb, train=train)
+                skip = skips.pop(0)
+                if packed:
+                    skip = s2d.space_to_depth(skip)
+                x = jnp.concatenate([x, skip], axis=-1)
+            x = self.resnets[i](x, temb, train=train, packed=packed)
             if self.num_attention_layers > 0:
                 L = self.num_attention_layers
                 for j in range(L):
@@ -497,7 +606,11 @@ class ResNetBlockStage(nn.Module):
                 L = self.num_temporal_attention_layers
                 for j in range(L):
                     x = self.t_attn[i * L + j](x, temb)
-            activations.append(x)
+            activations.append(
+                s2d.depth_to_space(x) if packed else x
+            )
+        if packed:
+            x = s2d.depth_to_space(x)
 
         if self.downsample_output or self.upsample_output:
             # NOTE: temporal 1-D resampling ((b h w) c t) of the reference

@@ -75,6 +75,11 @@ class UNetConfig:
     temporal_mode: bool = False
     temporal_spatial_ds: bool = False
     temporal_positional_encoding: bool = False
+    # space-to-depth packed execution for conv-only stages at or above
+    # this spatial side (TPU: 32-64ch convs at >=512px pad the 128-lane
+    # MXU 2-4x; packing trades 2x2 space for channels, exactly — see
+    # ops/space_to_depth.py). 0 disables.
+    pack_min_side: int = 512
     resnet_config: ResNetConfig = field(default_factory=ResNetConfig)
 
     def __post_init__(self):
@@ -247,6 +252,7 @@ class UNet(nn.Module):
                     temporal_pos_emb=cfg.temporal_positional_encoding,
                     temporal_spatial_ds=cfg.temporal_spatial_ds,
                     num_temporal_attention_layers=n_tattn,
+                    pack_min_side=cfg.pack_min_side,
                     dtype=self.dtype,
                 )
             )
@@ -314,6 +320,7 @@ class UNet(nn.Module):
                     temporal_pos_emb=cfg.temporal_positional_encoding,
                     temporal_spatial_ds=cfg.temporal_spatial_ds,
                     num_temporal_attention_layers=n_tattn,
+                    pack_min_side=cfg.pack_min_side,
                     dtype=self.dtype,
                 )
             )

@@ -1,0 +1,105 @@
+"""Exactness of the space-to-depth conv rewrite (ops/space_to_depth.py):
+the packed path must compute the identical function."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ml_mdm_tpu.ops import space_to_depth as s2d
+
+
+def test_pack_unpack_roundtrip():
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 5))
+    y = s2d.space_to_depth(x)
+    assert y.shape == (2, 4, 4, 20)
+    np.testing.assert_array_equal(np.asarray(s2d.depth_to_space(y)),
+                                  np.asarray(x))
+
+
+@pytest.mark.parametrize("cin,cout", [(4, 4), (3, 8)])
+def test_packed_conv3x3_exact(cin, cout):
+    key = jax.random.PRNGKey(1)
+    k1, k2, k3 = jax.random.split(key, 3)
+    x = jax.random.normal(k1, (2, 16, 16, cin))
+    w = jax.random.normal(k2, (3, 3, cin, cout)) * 0.2
+    b = jax.random.normal(k3, (cout,))
+
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + b
+
+    out = s2d.depth_to_space(
+        s2d.packed_conv(s2d.space_to_depth(x), w, b)
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_packed_conv1x1_exact():
+    key = jax.random.PRNGKey(2)
+    k1, k2 = jax.random.split(key)
+    x = jax.random.normal(k1, (2, 8, 8, 6))
+    w = jax.random.normal(k2, (1, 1, 6, 10)) * 0.3
+
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    out = s2d.depth_to_space(s2d.packed_conv(s2d.space_to_depth(x), w))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_groupnorm_packing_is_exact():
+    """GN on the packed layout with repeated scale/bias == GN unpacked."""
+    from ml_mdm_tpu.models.layers import GroupNormF32
+
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 8, 8, 8)) * 3 + 1
+    gn = GroupNormF32(num_groups=4)
+    v = gn.init(jax.random.PRNGKey(4), x)
+    ref = gn.apply(v, x)
+
+    xp = s2d.space_to_depth(x)
+    vp = jax.tree_util.tree_map(s2d.pack_channel_vector, v)
+    gn_p = GroupNormF32(num_groups=4)
+    out = s2d.depth_to_space(gn_p.apply(vp, xp))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_packed_unet_stage_exact():
+    """Full UNet forward with packed small-channel stages == unpacked
+    (same params), on a conv-only config."""
+    from ml_mdm_tpu.models.layers import ResNetConfig
+    from ml_mdm_tpu.models.unet import UNet, UNetConfig
+
+    kw = dict(
+        resolution_channels=[8, 16],
+        num_resnets_per_resolution=[2, 1],
+        attention_levels=[],
+        num_attention_layers=[0, 0],
+        conditioning_feature_dim=16,
+        masked_cross_attention=0,
+        skip_mid_blocks=True,
+        skip_cond_emb=False,
+        resnet_config=ResNetConfig(num_groups_norm=4, dropout=0.0,
+                                   use_attention_ffn=False),
+    )
+    m_plain = UNet(3, 3, UNetConfig(pack_min_side=0, **kw))
+    m_packed = UNet(3, 3, UNetConfig(pack_min_side=8, **kw))
+
+    b, side = 2, 16
+    x = jax.random.normal(jax.random.PRNGKey(0), (b, side, side, 3))
+    t = jnp.asarray([3, 7], jnp.int32)
+    lm = jax.random.normal(jax.random.PRNGKey(1), (b, 4, 16))
+    mask = jnp.ones((b, 4))
+    params = jax.jit(m_plain.init)(
+        jax.random.PRNGKey(2), x, t, lm, mask, {}
+    )["params"]
+
+    ref = m_plain.apply({"params": params}, x, t, lm, mask, {})
+    out = m_packed.apply({"params": params}, x, t, lm, mask, {})
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
