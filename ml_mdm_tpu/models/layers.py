@@ -609,16 +609,31 @@ class ResNetBlockStage(nn.Module):
             activations.append(
                 s2d.depth_to_space(x) if packed else x
             )
-        if packed:
-            x = s2d.depth_to_space(x)
-
         if self.downsample_output or self.upsample_output:
             # NOTE: temporal 1-D resampling ((b h w) c t) of the reference
             # applies only in temporal_mode without spatial_ds; 2-D path here.
-            if self.upsample_output:
-                x = nearest_upsample_2x(x.astype(jnp.float32)).astype(x.dtype)
-            x = self.resample(x)
+            if packed:
+                # resample directly in the packed domain: the stride-2
+                # conv lands on the packed grid; upsample+conv is a 4x
+                # channel repeat + packed conv (exact rewrites)
+                p = self.variables["params"]["resample"]
+                if self.downsample_output:
+                    x = s2d.packed_strided_conv(
+                        x, p["kernel"], p.get("bias")
+                    )
+                else:
+                    x = s2d.packed_upsample_conv(
+                        s2d.depth_to_space(x), p["kernel"], p.get("bias")
+                    )
+            else:
+                if self.upsample_output:
+                    x = nearest_upsample_2x(
+                        x.astype(jnp.float32)
+                    ).astype(x.dtype)
+                x = self.resample(x)
             activations.append(x)
+        elif packed:
+            x = s2d.depth_to_space(x)
 
         if not return_activations:
             return x

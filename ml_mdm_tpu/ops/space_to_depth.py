@@ -108,3 +108,51 @@ def packed_conv(x_packed: jnp.ndarray, kernel: jnp.ndarray,
     if bias is not None:
         y = y + pack_channel_vector(bias).astype(y.dtype)
     return y
+
+
+def pack_strided_conv_kernel(kernel: jnp.ndarray) -> jnp.ndarray:
+    """Stride-2 3x3 conv (downsample, flax padding 1) executed on the
+    packed input: (3,3,Cin,Cout) -> (2,2,4Cin,Cout). Output lands
+    directly on the packed grid (stride 1 there), channels UNPACKED.
+
+    out(i,j) = sum_{dy,dx in [-1,1]} W[dy,dx] * x(2i+dy, 2j+dx); the
+    source pixel sits in packed cell (i+ky, j+kx) sub-position (ei,ej)
+    with dy = 2*ky + ei, so only ky,kx in {-1,0} contribute."""
+    _, _, cin, cout = kernel.shape
+    out = jnp.zeros((2, 2, 4 * cin, cout), kernel.dtype)
+    for ky in (-1, 0):
+        for kx in (-1, 0):
+            for ei in (0, 1):
+                for ej in (0, 1):
+                    dy = 2 * ky + ei
+                    dx = 2 * kx + ej
+                    if dy < -1 or dy > 1 or dx < -1 or dx > 1:
+                        continue
+                    rows = jnp.arange(cin) * 4 + (ei * 2 + ej)
+                    out = out.at[ky + 1, kx + 1, rows, :].set(
+                        kernel[dy + 1, dx + 1]
+                    )
+    return out
+
+
+def packed_strided_conv(x_packed, kernel, bias=None):
+    """Downsample conv on the packed rep: (B,S/2,S/2,4Cin) ->
+    (B,S/2,S/2,Cout) == stride-2 3x3 conv of the unpacked (B,S,S,Cin)."""
+    pk = pack_strided_conv_kernel(kernel)
+    y = jax.lax.conv_general_dilated(
+        x_packed, pk.astype(x_packed.dtype),
+        window_strides=(1, 1), padding=[(1, 0), (1, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y
+
+
+def packed_upsample_conv(x, kernel, bias=None):
+    """nearest-2x upsample + 3x3 conv, computed packed: x (B,S,S,C) ->
+    (B,2S,2S,Cout). The upsampled image packed at the S grid is just a
+    4x channel repeat (all four sub-pixels of a cell equal x[i,j])."""
+    xp = jnp.repeat(x, 4, axis=-1)  # (B,S,S,4C), order c*4+dd
+    y = packed_conv(xp, kernel, bias)  # (B,S,S,4Cout)
+    return depth_to_space(y)

@@ -103,3 +103,34 @@ def test_packed_unet_stage_exact():
     out = m_packed.apply({"params": params}, x, t, lm, mask, {})
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_packed_strided_conv_exact():
+    key = jax.random.PRNGKey(5)
+    k1, k2, k3 = jax.random.split(key, 3)
+    x = jax.random.normal(k1, (2, 16, 16, 4))
+    w = jax.random.normal(k2, (3, 3, 4, 6)) * 0.2
+    b = jax.random.normal(k3, (6,))
+    ref = jax.lax.conv_general_dilated(
+        x, w, (2, 2), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + b
+    out = s2d.packed_strided_conv(s2d.space_to_depth(x), w, b)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_packed_upsample_conv_exact():
+    key = jax.random.PRNGKey(6)
+    k1, k2, k3 = jax.random.split(key, 3)
+    x = jax.random.normal(k1, (2, 8, 8, 4))
+    w = jax.random.normal(k2, (3, 3, 4, 6)) * 0.2
+    b = jax.random.normal(k3, (6,))
+    up = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+    ref = jax.lax.conv_general_dilated(
+        up, w, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + b
+    out = s2d.packed_upsample_conv(x, w, b)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
