@@ -44,3 +44,19 @@ def test_flash_gating():
     assert att._flash_supported(q, q) == (
         jax.default_backend() == "tpu"
     )
+
+
+@pytest.mark.parametrize("l,d", [(256, 64), (1024, 96)])
+def test_official_flash_matches_einsum(l, d, monkeypatch):
+    """jax's pallas TPU flash kernel through our layout adapter."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h = 2, 4
+    q = _rand((b, l, h, d), 0, jnp.float32)
+    k = _rand((b, l, h, d), 1, jnp.float32)
+    v = _rand((b, l, h, d), 2, jnp.float32)
+    ref = att._einsum_attention(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        out = att.tpu_flash_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
