@@ -91,6 +91,65 @@ def train_256(batch: int = 8):
     )
 
 
+def train_1024(batch: int = 2):
+    """1024px nested2 training step (fwd+bwd+clip+adam+EMA), remat +
+    bf16 + packed shells. Run with: python bench.py --train1024"""
+    import jax
+    import jax.numpy as jnp
+
+    from ml_mdm_tpu import trainer
+    from ml_mdm_tpu.config import get_arguments, get_model, get_pipeline
+
+    args = get_arguments(
+        args=["--config_path", "configs/models/cc12m_1024x1024.yaml"],
+        mode="trainer",
+    )
+    args.unet_config.conditioning_feature_dim = 2048
+    module = get_model(args.model)(
+        3, 3, args.unet_config, dtype=jnp.bfloat16
+    )
+    pipeline = get_pipeline(args.model)(module, args.diffusion_config)
+    params = pipeline.init_params(
+        jax.random.PRNGKey(0), image_side=1024, lm_dim=2048, seq_len=32
+    )
+    tcfg = trainer.TrainerConfig(
+        lr=5e-5, warmup_steps=10, gradient_clip_norm=2.0, remat=True
+    )
+    opt, _ = trainer.make_optimizer(tcfg)
+    state = trainer.TrainState.create(params, opt)
+    del params
+    step = jax.jit(
+        trainer.make_train_step(pipeline, opt, tcfg,
+                                compute_dtype=jnp.bfloat16),
+        donate_argnums=(0,),
+    )
+    b = batch
+    batch_data = {
+        "images": jnp.zeros((b, 1024, 1024, 3), jnp.float32),
+        "lm_outputs": jnp.zeros((b, 32, 2048), jnp.float32),
+        "lm_mask": jnp.ones((b, 32), jnp.float32),
+    }
+    state, m = step(state, batch_data, jax.random.PRNGKey(1))
+    jax.block_until_ready(m)
+    n = 3
+    t0 = time.perf_counter()
+    for i in range(n):
+        state, m = step(state, batch_data, jax.random.PRNGKey(2 + i))
+    jax.block_until_ready(m)
+    dt = (time.perf_counter() - t0) / n
+    print(
+        json.dumps(
+            {
+                "metric": f"1024px train step/s (nested2, bs{b}, bf16, "
+                          "remat, packed shells)",
+                "value": round(1.0 / dt, 3),
+                "unit": "steps/sec/chip",
+                "images_per_sec": round(b / dt, 2),
+            }
+        )
+    )
+
+
 def sample_1024(batch: int = 4, steps: int = 250):
     """North-star benchmark: 1024px nested2 sampling, demo preset
     (bs4 @ 250 steps, eta 1 — generate_sample.py:546-552).
@@ -222,6 +281,8 @@ if __name__ == "__main__":
 
     if "--train256" in sys.argv:
         train_256()
+    elif "--train1024" in sys.argv:
+        train_1024()
     elif "--sample1024" in sys.argv:
         sample_1024()
     else:

@@ -211,3 +211,31 @@ def test_scraper_parquet_to_tsv_and_split(tmp_path):
     val = open(os.path.join(out, "validation.tsv")).read().splitlines()
     assert train[0] == "filename" and len(train) == 3
     assert len(val) == 2
+
+
+def test_core_cli_builder(tmp_path):
+    """Generic CLI builder (reference ml-mdm core.py parity)."""
+    import dataclasses
+
+    from ml_mdm_tpu.core import CLIBuilder
+
+    @dataclasses.dataclass
+    class Cfg:
+        lr: float = 0.1
+        name: str = "x"
+        steps: int = 1
+
+    captured = {}
+
+    class Runner:
+        def __init__(self, config):
+            captured["cfg"] = config
+
+    cfgfile = tmp_path / "c.yaml"
+    cfgfile.write_text("lr: 0.5\nname: from_yaml\n")
+    builder = CLIBuilder(class_to_call=Runner, config_class=Cfg)
+    builder.run(["--config-file", str(cfgfile), "--steps", "7"])
+    cfg = captured["cfg"]
+    assert cfg.lr == 0.5          # yaml
+    assert cfg.name == "from_yaml"
+    assert cfg.steps == 7         # CLI override beats default
