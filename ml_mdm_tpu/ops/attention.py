@@ -34,13 +34,28 @@ def use_flash(enabled: bool):
     _USE_FLASH = enabled
 
 
+# materialise the (L, L) logits in bf16 instead of f32 under bf16
+# compute (the MXU still accumulates the QK dot in f32 internally; only
+# the stored rounding changes — consistent with the rest of the bf16
+# path). Halves attention's dominant HBM traffic at 1024 tokens:
+# measured +6.6% end-to-end on the 64px flagship (5.82 -> 6.21
+# samples/s). Opt out with ML_MDM_TPU_BF16_LOGITS=0; f32 models are
+# unaffected.
+_BF16_LOGITS = os.environ.get("ML_MDM_TPU_BF16_LOGITS", "1") == "1"
+
+
 def _einsum_attention(q, k, v, mask=None):
     """q: (B, Lq, H, D), k/v: (B, Lk, H, D), mask: (B, Lk) or None."""
     d = q.shape[-1]
     scale = 1.0 / (d ** 0.25)
+    logits_dtype = (
+        jnp.bfloat16
+        if (_BF16_LOGITS and q.dtype == jnp.bfloat16)
+        else jnp.float32
+    )
     logits = jnp.einsum(
         "bqhd,bkhd->bhqk", q * scale, k * scale,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=logits_dtype,
     )
     if mask is not None:
         m = mask[:, None, None, :]
