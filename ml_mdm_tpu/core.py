@@ -21,7 +21,14 @@ class ConfigPrinter:
         print(config)
 
 
+_TYPE_NAMES = {"int": int, "float": float, "bool": bool, "str": str}
+
+
 def _parse_value(ftype, raw: str):
+    # dataclass field types are plain strings under
+    # `from __future__ import annotations` — resolve the common ones
+    if isinstance(ftype, str):
+        ftype = _TYPE_NAMES.get(ftype, str)
     if ftype in (int, float):
         return ftype(raw)
     if ftype is bool:

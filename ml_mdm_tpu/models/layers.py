@@ -106,17 +106,31 @@ class GroupNormF32(nn.Module):
 
 def group_norm_coeffs(x, scale, bias, g, eps: float = 1e-5):
     """Pure-function core of GroupNormF32.affine_coeffs (also used by the
-    space-to-depth packed ResNet path with repeated scale/bias)."""
+    space-to-depth packed ResNet path with repeated scale/bias).
+
+    Variance strategy is dtype-principled: for bf16 inputs the one-pass
+    E[x^2]-mean^2 form (single fused HBM read for both reductions) is as
+    accurate as the data allows — bf16 quantisation already exceeds the
+    f32 cancellation error. For f32 inputs the centered two-pass form is
+    used: there the cancellation at large mean/std WOULD lose real
+    precision, and f32 models are the CPU/parity path where bandwidth
+    does not matter."""
     c = x.shape[-1]
     shape = x.shape[:-1] + (g, c // g)
     xg = x.reshape(shape)
     red = tuple(range(1, len(shape) - 2)) + (len(shape) - 1,)
     mean = jnp.mean(xg, axis=red, keepdims=True, dtype=jnp.float32)
-    msq = jnp.mean(
-        jnp.square(xg.astype(jnp.float32)), axis=red, keepdims=True,
-        dtype=jnp.float32,
-    )
-    var = jnp.maximum(msq - jnp.square(mean), 0.0)
+    if x.dtype == jnp.bfloat16:
+        msq = jnp.mean(
+            jnp.square(xg.astype(jnp.float32)), axis=red, keepdims=True,
+            dtype=jnp.float32,
+        )
+        var = jnp.maximum(msq - jnp.square(mean), 0.0)
+    else:
+        var = jnp.mean(
+            jnp.square(xg.astype(jnp.float32) - mean),
+            axis=red, keepdims=True, dtype=jnp.float32,
+        )
     inv = jax.lax.rsqrt(var + eps)  # (B,1,..,g,1)
     ones = (1,) * (len(x.shape) - 2)
     inv_c = jnp.broadcast_to(inv, inv.shape[:-2] + (g, c // g)).reshape(
@@ -140,11 +154,18 @@ class LayerNormF32(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         mean = jnp.mean(x, axis=-1, keepdims=True, dtype=jnp.float32)
-        msq = jnp.mean(
-            jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True,
-            dtype=jnp.float32,
-        )
-        var = jnp.maximum(msq - jnp.square(mean), 0.0)
+        # same dtype-principled variance strategy as group_norm_coeffs
+        if x.dtype == jnp.bfloat16:
+            msq = jnp.mean(
+                jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True,
+                dtype=jnp.float32,
+            )
+            var = jnp.maximum(msq - jnp.square(mean), 0.0)
+        else:
+            var = jnp.mean(
+                jnp.square(x.astype(jnp.float32) - mean),
+                axis=-1, keepdims=True, dtype=jnp.float32,
+            )
         inv = jax.lax.rsqrt(var + 1e-5)
         a = (inv * scale).astype(x.dtype)
         b = (bias - mean * inv * scale).astype(x.dtype)
@@ -189,65 +210,58 @@ class ResNet(nn.Module):
             )
 
     def __call__(self, x, temb, train: bool = False, packed: bool = False):
+        """One body for both execution layouts: the packed
+        (space-to-depth, ops/space_to_depth.py) path substitutes conv
+        and per-channel-vector primitives; all the math lives once in
+        _forward so the two layouts cannot drift apart."""
         if packed and not self.is_initializing():
-            return self._packed(x, temb, train)
+            from ml_mdm_tpu.ops import space_to_depth as s2d
+
+            p = self.variables["params"]
+            g = self.config.num_groups_norm
+            rep = s2d.pack_channel_vector
+
+            def conv(name, h):
+                return s2d.packed_conv(
+                    h, p[name]["kernel"], p[name].get("bias")
+                )
+
+            def coeffs(name, h):
+                return group_norm_coeffs(
+                    h, rep(p[name]["scale"]), rep(p[name]["bias"]), g
+                )
+
+            return self._forward(x, temb, train, conv, coeffs, rep)
+
+        def conv(name, h):
+            return getattr(self, name)(h)
+
+        def coeffs(name, h):
+            return getattr(self, name).affine_coeffs(h)
+
+        return self._forward(x, temb, train, conv, coeffs, lambda v: v)
+
+    def _forward(self, x, temb, train, conv, coeffs, vec):
         cfg = self.config
-        h = self.conv1(jax.nn.silu(self.norm1(x)))
+        a1, b1 = coeffs("norm1", x)
+        h = conv("conv1", jax.nn.silu(x * a1.astype(x.dtype)
+                                      + b1.astype(x.dtype)))
         t = self.time_layer(jax.nn.silu(temb))  # (B, 2*out)
         t = _maybe_repeat_temb(h, t)
         ta, tb = jnp.split(t, 2, axis=-1)
-        ta = ta[:, None, None, :].astype(jnp.float32)
-        tb = tb[:, None, None, :].astype(jnp.float32)
+        ta = vec(ta)[:, None, None, :].astype(jnp.float32)
+        tb = vec(tb)[:, None, None, :].astype(jnp.float32)
         # fold FiLM into the norm's affine: norm(h)*(1+ta)+tb == h*a'+b'
         # — one fused multiply-add over the activation instead of three
         # elementwise passes (unet.py:226-233 semantics preserved)
-        a, b = self.norm2.affine_coeffs(h)
-        a2 = (a * (1.0 + ta)).astype(h.dtype)
-        b2 = (b * (1.0 + ta) + tb).astype(h.dtype)
-        h = jax.nn.silu(h * a2 + b2)
-        h = self.drop(h, deterministic=not train)
-        h = self.conv2(h)
-        if cfg.output_channels != cfg.num_channels:
-            x = self.conv3(x)
-        return h + x
-
-    def _packed(self, x, temb, train: bool):
-        """Space-to-depth execution: x is (B,H/2,W/2,4C) in the c*4+dd
-        channel order (ops/space_to_depth.py); computes exactly the same
-        function as the unpacked path with full-width MXU operands."""
-        from ml_mdm_tpu.ops import space_to_depth as s2d
-
-        cfg = self.config
-        p = self.variables["params"]
-        rep = s2d.pack_channel_vector
-        g = cfg.num_groups_norm
-
-        a, b = group_norm_coeffs(
-            x, rep(p["norm1"]["scale"]), rep(p["norm1"]["bias"]), g
-        )
-        h = jax.nn.silu(x * a.astype(x.dtype) + b.astype(x.dtype))
-        h = s2d.packed_conv(
-            h, p["conv1"]["kernel"], p["conv1"].get("bias")
-        )
-        t = self.time_layer(jax.nn.silu(temb))
-        t = _maybe_repeat_temb(h, t)
-        ta, tb = jnp.split(t, 2, axis=-1)
-        ta = rep(ta)[:, None, None, :].astype(jnp.float32)
-        tb = rep(tb)[:, None, None, :].astype(jnp.float32)
-        a2, b2 = group_norm_coeffs(
-            h, rep(p["norm2"]["scale"]), rep(p["norm2"]["bias"]), g
-        )
+        a2, b2 = coeffs("norm2", h)
         a2 = (a2 * (1.0 + ta)).astype(h.dtype)
         b2 = (b2 * (1.0 + ta) + tb).astype(h.dtype)
         h = jax.nn.silu(h * a2 + b2)
         h = self.drop(h, deterministic=not train)
-        h = s2d.packed_conv(
-            h, p["conv2"]["kernel"], p["conv2"].get("bias")
-        )
+        h = conv("conv2", h)
         if cfg.output_channels != cfg.num_channels:
-            x = s2d.packed_conv(
-                x, p["conv3"]["kernel"], p["conv3"].get("bias")
-            )
+            x = conv("conv3", x)
         return h + x
 
 

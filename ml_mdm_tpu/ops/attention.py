@@ -5,14 +5,18 @@ The numerics follow the reference attention (unet.py:276-294): the scale
 bf16 stability than scaling the product), softmax runs in fp32, and masked
 key positions get -inf logits.
 
-Two execution paths share this contract:
+Execution paths:
 
-- ``dot_product_attention``: plain einsum form. XLA fuses this well on TPU
-  for the sequence lengths this model sees (<= 4096 spatial tokens).
-- ``flash_attention``: a Pallas TPU kernel (blocked online-softmax) for the
-  hot self-attention at 32x32/16x16 resolutions. Selected via
-  ``use_flash(True)`` or the ML_MDM_TPU_FLASH env var; falls back to the
-  einsum path off-TPU.
+- ``dot_product_attention`` (DEFAULT): einsum form with bf16 logits
+  storage under bf16 compute. Measured fastest end-to-end for this
+  model's sequence lengths (<= 1024 tokens) — beats both flash kernels
+  below; see docs/performance.md.
+- ``tpu_flash_attention``: jax's pipelined Pallas TPU kernel, routed to
+  by ``use_flash(True)`` / ML_MDM_TPU_FLASH=1 — the opt-in path for
+  genuinely long sequences (never materialises the (L, L) logits).
+- ``flash_attention``: the in-repo teaching kernel (blocked online
+  softmax). NOT on any production path — kept as a worked Pallas
+  example with interpret-mode tests.
 """
 from __future__ import annotations
 

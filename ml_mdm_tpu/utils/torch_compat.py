@@ -29,6 +29,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# historical layouts where GroupNormF32/LayerNormF32 nested a flax norm
+# submodule; current modules own scale/bias directly. Kept so param
+# trees saved by older revisions still convert.
 _WRAPPED_NORMS = ("GroupNorm_0", "LayerNorm_0")
 
 

@@ -239,3 +239,15 @@ def test_core_cli_builder(tmp_path):
     assert cfg.lr == 0.5          # yaml
     assert cfg.name == "from_yaml"
     assert cfg.steps == 7         # CLI override beats default
+
+
+def test_core_parse_value_string_annotations():
+    """Under `from __future__ import annotations` dataclass field types
+    are strings — coercion must still apply (review regression)."""
+    from ml_mdm_tpu.core import _parse_value
+
+    assert _parse_value("int", "7") == 7
+    assert _parse_value("float", "0.5") == 0.5
+    assert _parse_value("bool", "true") is True
+    assert _parse_value(int, "3") == 3
+    assert _parse_value("SomethingElse", "x") == "x"
