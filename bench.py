@@ -150,9 +150,10 @@ def train_1024(batch: int = 2):
     )
 
 
-def sample_1024(batch: int = 4, steps: int = 250):
+def sample_1024(batch: int = 4, steps: int = 250, _retrying: bool = False):
     """North-star benchmark: 1024px nested2 sampling, demo preset
-    (bs4 @ 250 steps, eta 1 — generate_sample.py:546-552).
+    (bs4 @ 250 steps, eta 1 — generate_sample.py:546-552). Falls back
+    to half batch when the chip faults (v5e-1 cannot hold bs4).
 
     Run with: python bench.py --sample1024
     """
@@ -190,8 +191,17 @@ def sample_1024(batch: int = 4, steps: int = 250):
         )
 
     run_jit = jax.jit(run)
-    out = run_jit(params, lm, mask, jax.random.PRNGKey(2))
-    jax.block_until_ready(out)
+    try:
+        out = run_jit(params, lm, mask, jax.random.PRNGKey(2))
+        jax.block_until_ready(out)
+    except Exception as e:
+        if _retrying or batch <= 1:
+            raise
+        import sys
+
+        print(f"bs{batch} faulted ({type(e).__name__}); retrying at "
+              f"bs{batch // 2}", file=sys.stderr, flush=True)
+        return sample_1024(batch // 2, steps, _retrying=True)
     n = 2
     t0 = time.perf_counter()
     for i in range(n):
