@@ -99,16 +99,23 @@ def main(args):
     n_params = sum(p.size for p in jax.tree_util.tree_leaves(params))
     logging.info(f"Model parameters: {n_params/1e6:.2f}M")
 
+    # Matryoshka progressive recipe: warm-start inner-UNet subtrees from
+    # pretrained checkpoints (reference nested_unet.py:147-152) BEFORE
+    # the EMA copy is made, so both start from the loaded weights.
+    if hasattr(args.unet_config, "inner_config"):
+        params = ckpt.apply_inner_warm_start(params, args.unet_config)
+
     tracker = RobustLossTracker()
     start_batch_num = 0
     other_items = None
-    if args.pretrained_vision_file and os.path.exists(
-        args.pretrained_vision_file
-    ):
-        logging.info(f"Loading ckpt from {args.pretrained_vision_file}")
-        params, other_items = ckpt.load_vision_model(
-            args.pretrained_vision_file, params
+    if args.pretrained_vision_file:
+        resume_path = ckpt.select_resume_checkpoint(
+            args.pretrained_vision_file,
+            bool(getattr(args, "resume_from_ema", False)),
         )
+        if os.path.exists(resume_path):
+            logging.info(f"Loading ckpt from {resume_path}")
+            params, other_items = ckpt.load_vision_model(resume_path, params)
     if other_items and "batch_num" in other_items:
         start_batch_num = int(other_items["batch_num"])
         tracker.load(
@@ -155,6 +162,10 @@ def main(args):
     if resume_dir:
         # exact resume: params + EMA + optimizer state + step from Orbax
         state, other_items = ckpt.load_train_state(resume_dir, state)
+        if getattr(args, "resume_from_ema", False):
+            # --resume-from-ema: continue training FROM the EMA weights
+            logging.info("--resume-from-ema: params <- ema_params")
+            state = state.replace(params=state.ema_params)
         start_batch_num = int(state.step)
         if other_items:
             tracker.load(
@@ -243,7 +254,7 @@ def main(args):
             if num % args.log_freq == 0:
                 logging.info(f"Batch: {num} - {m}")
 
-    while True:
+    while batch_num < args.num_training_steps:
         try:
             raw = next(data_iter)
         except StopIteration:

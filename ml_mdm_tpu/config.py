@@ -92,6 +92,51 @@ def get_pipeline_config_cls(name):
 
 
 # ---------------------------------------------------------------------------
+# inert compatibility fields
+# ---------------------------------------------------------------------------
+
+# Fields accepted ONLY so reference YAMLs parse unchanged; they have no
+# behavior here (nor in the reference, where they are equally dead —
+# SURVEY.md quirk #5). Setting one to a non-default value warns loudly:
+# a silently-ignored knob is worse than an error. Every field of every
+# registered config dataclass must be either wired or listed here
+# (enforced by tests/test_configs.py::test_no_silently_unwired_fields).
+INERT_COMPAT_FIELDS: Dict[str, set] = {
+    "NestedDiffusionConfig": {
+        "use_random_interp", "random_downsample", "average_downsample",
+        "mid_downsample",
+    },
+    "SamplerConfig": {"reproject_signal"},
+    "ReaderConfig": {"bucket"},
+}
+
+
+def warn_inert_fields(cfg, _path: str = "") -> List[str]:
+    """Warn (and return paths) for inert-compat fields set to non-default
+    values anywhere in a (possibly nested) config dataclass."""
+    hits: List[str] = []
+    if cfg is None or not is_dataclass(cfg) or isinstance(cfg, type):
+        return hits
+    inert = INERT_COMPAT_FIELDS.get(type(cfg).__name__, set())
+    defaults = None
+    for f in fields(cfg):
+        value = getattr(cfg, f.name)
+        where = f"{_path}{type(cfg).__name__}.{f.name}"
+        if f.name in inert:
+            if defaults is None:
+                defaults = type(cfg)()
+            if value != getattr(defaults, f.name):
+                hits.append(where)
+                logging.warning(
+                    f"Config field {where}={value!r} is accepted for "
+                    "reference-YAML compatibility but has NO effect in "
+                    "ml_mdm_tpu (it is equally unused in the reference)."
+                )
+        hits += warn_inert_fields(value, _path=f"{where}: ")
+    return hits
+
+
+# ---------------------------------------------------------------------------
 # dataclass <- dict instantiation (tolerant, recursive)
 # ---------------------------------------------------------------------------
 
@@ -362,6 +407,8 @@ def get_arguments(args=None, mode="trainer", additional_config_paths=()):
             "Ignoring unknown config keys (reference-compatible tolerance): "
             f"{ns.extra_config}"
         )
+    for section in (ns.unet_config, ns.diffusion_config, ns.reader_config):
+        warn_inert_fields(section)
     return ns
 
 

@@ -149,3 +149,65 @@ def test_cifar10_categorical_recipe():
     }
     losses, *_ = pipe.get_loss(params, batch, jax.random.PRNGKey(2))
     assert np.isfinite(np.asarray(losses)).all()
+
+
+def test_no_silently_unwired_fields():
+    """Every field of every registered config dataclass must either be
+    referenced somewhere in the package source (wired) or be explicitly
+    declared inert in config.INERT_COMPAT_FIELDS (which warns loudly at
+    parse time). Guards against accepted-but-no-op knobs (VERDICT r1)."""
+    import dataclasses
+    import pathlib
+    import re
+
+    import ml_mdm_tpu.config as C
+    import ml_mdm_tpu.diffusion  # noqa: F401 (registry)
+    import ml_mdm_tpu.models  # noqa: F401
+    from ml_mdm_tpu.reader import ReaderConfig
+
+    pkg = pathlib.Path(C.__file__).parent
+    src = "".join(
+        p.read_text() for p in pkg.rglob("*.py")
+    ) + (pkg.parent / "bench.py").read_text()
+
+    classes = set()
+    for entry in C.MODEL_CONFIG_REGISTRY.values():
+        classes.add(entry["config"])
+    classes |= set(C.PIPELINE_CONFIG_REGISTRY.values())
+    classes.add(ReaderConfig)
+    # include nested config dataclass types (sampler_config, resnet_config)
+    for cls in list(classes):
+        for f in dataclasses.fields(cls):
+            t = C._dataclass_target(cls, f)
+            if t is not None:
+                classes.add(t)
+
+    unwired = []
+    for cls in classes:
+        inert = C.INERT_COMPAT_FIELDS.get(cls.__name__, set())
+        for f in dataclasses.fields(cls):
+            if f.name in inert:
+                continue
+            # wired = attribute access or string-key access anywhere
+            pat = r"\.%s\b|[\"']%s[\"']" % (
+                re.escape(f.name), re.escape(f.name)
+            )
+            if not re.search(pat, src):
+                unwired.append(f"{cls.__name__}.{f.name}")
+    assert not unwired, (
+        "config fields with no implementation and not declared inert: "
+        f"{sorted(set(unwired))}"
+    )
+
+
+def test_inert_field_warns(caplog):
+    import logging as _logging
+
+    from ml_mdm_tpu.config import warn_inert_fields
+    from ml_mdm_tpu.diffusion import NestedDiffusionConfig
+
+    cfg = NestedDiffusionConfig(use_random_interp=True)
+    with caplog.at_level(_logging.WARNING):
+        hits = warn_inert_fields(cfg)
+    assert any("use_random_interp" in h for h in hits)
+    assert any("NO effect" in r.message for r in caplog.records)
