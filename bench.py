@@ -150,10 +150,15 @@ def train_1024(batch: int = 2):
     )
 
 
-def sample_1024(batch: int = 4, steps: int = 250, _retrying: bool = False):
+def sample_1024(batch: int = 4, steps: int = 250):
     """North-star benchmark: 1024px nested2 sampling, demo preset
-    (bs4 @ 250 steps, eta 1 — generate_sample.py:546-552). Falls back
-    to half batch when the chip faults (v5e-1 cannot hold bs4).
+    (bs4 @ 250 steps, eta 1 — generate_sample.py:546-552).
+
+    Uses the chunked sampler: one 250-step device execution runs >60s
+    at this size, which exceeds the tunneled runtime's RPC deadline and
+    surfaces as a TPU device fault (diagnosed r2: a single bs4 forward
+    is fine; only the long fused scan dies). Chunks of 25 steps bound
+    each execution to a few seconds — numerically identical program.
 
     Run with: python bench.py --sample1024
     """
@@ -183,29 +188,20 @@ def sample_1024(batch: int = 4, steps: int = 250, _retrying: bool = False):
     )
     mask = jnp.ones((batch, 32), jnp.bfloat16)
 
-    def run(p, lm, mask, k):
+    def run(k):
         s = {"lm_outputs": lm, "lm_mask": mask}
-        return pipeline.sample(
-            p, batch, s, 1024, k,
+        return pipeline.sample_chunked(
+            params, batch, s, 1024, k,
             num_inference_steps=steps, resample_steps=True, ddim_eta=1.0,
+            chunk_steps=25,
         )
 
-    run_jit = jax.jit(run)
-    try:
-        out = run_jit(params, lm, mask, jax.random.PRNGKey(2))
-        jax.block_until_ready(out)
-    except Exception as e:
-        if _retrying or batch <= 1:
-            raise
-        import sys
-
-        print(f"bs{batch} faulted ({type(e).__name__}); retrying at "
-              f"bs{batch // 2}", file=sys.stderr, flush=True)
-        return sample_1024(batch // 2, steps, _retrying=True)
+    out = run(jax.random.PRNGKey(2))
+    jax.block_until_ready(out)
     n = 2
     t0 = time.perf_counter()
     for i in range(n):
-        out = run_jit(params, lm, mask, jax.random.PRNGKey(3 + i))
+        out = run(jax.random.PRNGKey(3 + i))
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / n
     sps = batch / dt

@@ -101,7 +101,7 @@ def generate_data(
 
 
 def main(args, negative_prompt=None, guidance_scale=1.0, ddim_eta=None,
-         num_inference_steps=None):
+         num_inference_steps=None, chunk_steps=None):
     local_rank, global_rank, world_size = init_distributed_singlenode()
     tokenizer, language_model = factory.create_lm(args)
     lm_dim = language_model.embed_dim
@@ -173,6 +173,19 @@ def main(args, negative_prompt=None, guidance_scale=1.0, ddim_eta=None,
     jit_cache = {}
 
     def sample_jit(b):
+        if chunk_steps:
+            # bounded-duration device chunks (long fused scans can trip
+            # RPC deadlines on tunneled TPU runtimes); jits internally
+            # with params as arguments and caches on the sampler
+            def g(p, lm, mask, k):
+                s = {"lm_outputs": lm, "lm_mask": mask}
+                return pipeline.sample_chunked(
+                    p, b, s, image_side, k,
+                    guidance_scale=guidance_scale,
+                    chunk_steps=chunk_steps, **sample_kwargs,
+                )
+
+            return g
         if b not in jit_cache:
             def f(p, lm, mask, k):
                 s = {"lm_outputs": lm, "lm_mask": mask}

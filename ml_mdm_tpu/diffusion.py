@@ -193,6 +193,26 @@ class Diffusion:
             **kwargs,
         )
 
+    def sample_chunked(self, params, num_examples, sample, image_side, key,
+                       noise_dtype=jnp.float32, **kwargs):
+        """Like ``sample`` but host-driven in bounded device chunks; jits
+        internally with params as arguments (do NOT wrap in jax.jit)."""
+        k_noise, k_loop = jax.random.split(key)
+        noise = self.get_noise(
+            k_noise, num_examples, image_side, dtype=noise_dtype
+        )
+        micros = self.get_micro_conditioning(sample)
+        return self.sampler.sample_chunked(
+            params,
+            self.model,
+            noise,
+            sample["lm_outputs"],
+            sample["lm_mask"],
+            micros,
+            k_loop,
+            **kwargs,
+        )
+
     def partial_diffusion(self, params, images, t, sample, key, **kwargs):
         """img2img: noise images to level t, then denoise from t."""
         k_eps, k_loop = jax.random.split(key)
@@ -482,5 +502,24 @@ class NestedDiffusion(Diffusion):
             scales=self.scales,
             params=params,
             model_apply=self.model,
+            **kwargs,
+        )
+
+    def sample_chunked(self, params, num_examples, sample, image_side, key,
+                       noise_dtype=jnp.float32, **kwargs):
+        k_noise, k_loop = jax.random.split(key)
+        noise = self.get_noise(
+            k_noise, num_examples, image_side, dtype=noise_dtype
+        )
+        micros = self.get_micro_conditioning(sample)
+        return self.sampler.sample_chunked(
+            params,
+            self.model,
+            noise,
+            sample["lm_outputs"],
+            sample["lm_mask"],
+            micros,
+            k_loop,
+            scales=self.scales,
             **kwargs,
         )

@@ -539,6 +539,84 @@ class Sampler:
             return x_out, self._postprocess(seq)
         return x_out
 
+    def sample_chunked(
+        self,
+        params,
+        model_apply,
+        x_t,
+        lm_outputs,
+        lm_mask,
+        micros,
+        key,
+        num_inference_steps: int = 2000,
+        ddim_eta=None,
+        guidance_scale: float = 1.0,
+        resample_steps: bool = False,
+        t_start: int = -1,
+        chunk_steps: int = 50,
+    ):
+        """Denoise in host-driven chunks of ``chunk_steps`` scan steps.
+
+        Numerically identical to ``sample`` (same timestep table and key
+        sequence), but each device execution is bounded to one chunk.
+        Long single executions (e.g. 250 steps at 1024px) can exceed RPC
+        deadlines on tunneled/remote TPU runtimes and surface as a device
+        fault; chunking keeps each call short while the carry stays on
+        device. At most two programs compile (chunk sizes differ by <=1).
+
+        ``model_apply(params, x, t, lm, mask, micros)`` is the weight-
+        explicit model call (e.g. ``pipeline.model``); params stay a jit
+        ARGUMENT, never baked into the HLO as constants. The jitted chunk
+        program is cached on the sampler (one compile per chunk length,
+        reused across calls)."""
+        ts = self._timestep_table(num_inference_steps, resample_steps, t_start)
+        n = len(ts) - 1
+        keys = jax.random.split(key, n)
+        t_now = np.asarray(ts[:-1], dtype=np.int32)
+        t_nxt = np.asarray(ts[1:], dtype=np.int32)
+        chunk_jit = self._chunk_jit()
+        n_chunks = max(1, -(-n // max(1, chunk_steps)))
+        bounds = np.array_split(np.arange(n), n_chunks)
+        x = x_t
+        for idx in bounds:
+            if len(idx) == 0:
+                continue
+            lo, hi = int(idx[0]), int(idx[-1]) + 1
+            x = chunk_jit(
+                params, model_apply, x, lm_outputs, lm_mask, micros,
+                jnp.asarray(t_now[lo:hi]),
+                jnp.asarray(t_nxt[lo:hi]),
+                keys[lo:hi],
+                guidance_scale, ddim_eta,
+            )
+        return self._postprocess(x, clip=True)
+
+    def _chunk_jit(self):
+        """Jitted multi-step scan chunk with stable identity (cached on
+        the sampler, same pattern as _stream_jit_step): everything data
+        is an argument; model_apply/guidance/eta are static."""
+        cached = getattr(self, "_chunk_jit_fn", None)
+        if cached is None:
+            def _chunk(p, model_apply, x, lm, mask, micros, tn, tx, ks,
+                       guidance_scale, ddim_eta):
+                def body(carry, inp):
+                    t, t_last, k = inp
+                    _, x_s = self.step(
+                        lambda xx, tt, l2, m2, mic: model_apply(
+                            p, xx, tt, l2, m2, mic
+                        ),
+                        carry, t, t_last, lm, mask, micros, k,
+                        guidance_scale, ddim_eta,
+                    )
+                    return x_s, None
+
+                out, _ = jax.lax.scan(body, x, (tn, tx, ks))
+                return out
+
+            cached = jax.jit(_chunk, static_argnums=(1, 9, 10))
+            self._chunk_jit_fn = cached
+        return cached
+
     def _postprocess(self, x_t, x0=None, clip=False, image_scale=None):
         if image_scale is None:
             image_scale = self.config.rescale_signal
@@ -795,6 +873,75 @@ class NestedSampler(Sampler):
                 )
             )
         return jnp.concatenate(panes[::-1], axis=-2)  # side by side on width
+
+    def sample_chunked(
+        self,
+        params,
+        model_apply,
+        x_t: List[jnp.ndarray],
+        lm_outputs,
+        lm_mask,
+        micros,
+        key,
+        scales: Sequence[float],
+        num_inference_steps: int = 2000,
+        ddim_eta=None,
+        guidance_scale: float = 1.0,
+        resample_steps: bool = False,
+        t_start: int = -1,
+        output_inner: bool = False,
+        chunk_steps: int = 50,
+    ):
+        """Nested counterpart of Sampler.sample_chunked: the lockstep
+        multi-resolution denoise driven in bounded-duration device chunks
+        (see the single-res docstring for why)."""
+        ts = self._timestep_table(num_inference_steps, resample_steps, t_start)
+        n = len(ts) - 1
+        keys = jax.random.split(key, n)
+        t_now = np.asarray(ts[:-1], dtype=np.int32)
+        t_nxt = np.asarray(ts[1:], dtype=np.int32)
+        chunk_jit = self._nested_chunk_jit()
+        n_chunks = max(1, -(-n // max(1, chunk_steps)))
+        bounds = np.array_split(np.arange(n), n_chunks)
+        xs = tuple(x_t)
+        for idx in bounds:
+            if len(idx) == 0:
+                continue
+            lo, hi = int(idx[0]), int(idx[-1]) + 1
+            xs = chunk_jit(
+                params, model_apply, xs, lm_outputs, lm_mask, micros,
+                jnp.asarray(t_now[lo:hi]),
+                jnp.asarray(t_nxt[lo:hi]),
+                keys[lo:hi],
+                guidance_scale, ddim_eta, tuple(scales),
+            )
+            xs = tuple(xs)
+        return self._postprocess_nested(
+            list(xs), clip=True, output_inner=output_inner
+        )
+
+    def _nested_chunk_jit(self):
+        cached = getattr(self, "_nested_chunk_jit_fn", None)
+        if cached is None:
+            def _chunk(p, model_apply, xs, lm, mask, micros, tn, tx, ks,
+                       guidance_scale, ddim_eta, scales):
+                def body(carry, inp):
+                    t, t_last, k = inp
+                    _, x_next = self.step(
+                        lambda xx, tt, l2, m2, mic: model_apply(
+                            p, xx, tt, l2, m2, mic
+                        ),
+                        list(carry), t, t_last, lm, mask, micros, k,
+                        guidance_scale, ddim_eta, scales=scales,
+                    )
+                    return tuple(x_next), None
+
+                out, _ = jax.lax.scan(body, xs, (tn, tx, ks))
+                return out
+
+            cached = jax.jit(_chunk, static_argnums=(1, 9, 10, 11))
+            self._nested_chunk_jit_fn = cached
+        return cached
 
     def _nested_stream_jit_step(self):
         """Nested counterpart of Sampler._stream_jit_step: one stable

@@ -315,3 +315,71 @@ def test_nested_sampler_gammas_and_xt():
         np.testing.assert_allclose(
             _from_nhwc(xt[i]), xt_ref[i].numpy(), rtol=1e-4, atol=1e-5
         )
+
+
+def test_chunked_sample_matches_fused():
+    """sample_chunked (host-driven bounded chunks) is numerically
+    identical to the one-scan sample: same timestep table, same keys."""
+    cfg = S.SamplerConfig(
+        num_diffusion_steps=11, schedule_type="DDPM",
+        prediction_type="V_PREDICTION",
+    )
+    smp = S.Sampler(cfg)
+    theta = jnp.float32(0.1)
+
+    def model_apply(p, x, t, lm, mask, micros):
+        return p * x
+
+    def model_fn(x, t, lm, mask, micros):
+        return model_apply(theta, x, t, lm, mask, micros)
+
+    key = jax.random.PRNGKey(0)
+    x_T = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 3))
+    lm = jnp.zeros((2, 4, 8))
+    mask = jnp.ones((2, 4))
+
+    fused = jax.jit(
+        lambda x, k: smp.sample(model_fn, x, lm, mask, {}, k, ddim_eta=0)
+    )(x_T, key)
+    for chunk_steps in (4, 11, 64):  # ragged, exact, oversized
+        chunked = smp.sample_chunked(
+            theta, model_apply, x_T, lm, mask, {}, key,
+            ddim_eta=0, chunk_steps=chunk_steps,
+        )
+        np.testing.assert_allclose(
+            np.asarray(fused), np.asarray(chunked), rtol=1e-5, atol=1e-5
+        )
+
+
+def test_nested_chunked_sample_matches_fused():
+    cfg = S.SamplerConfig(
+        num_diffusion_steps=9, schedule_type="DEEPFLOYD",
+        prediction_type="V_PREDICTION", schedule_shifted=True,
+    )
+    smp = S.NestedSampler(cfg)
+    scales = [4, 1]
+    theta = jnp.float32(0.05)
+
+    def model_apply(p, xs, t, lm, mask, micros):
+        return [p * x for x in xs]
+
+    def model_fn(xs, t, lm, mask, micros):
+        return model_apply(theta, xs, t, lm, mask, micros)
+
+    key = jax.random.PRNGKey(3)
+    xs = smp.init_noise(jax.random.PRNGKey(4), 2, 3, 16, scales)
+    lm = jnp.zeros((2, 4, 8))
+    mask = jnp.ones((2, 4))
+
+    fused = jax.jit(
+        lambda x0, x1, k: smp.sample(
+            model_fn, [x0, x1], lm, mask, {}, k, scales=scales, ddim_eta=0
+        )
+    )(xs[0], xs[1], key)
+    chunked = smp.sample_chunked(
+        theta, model_apply, xs, lm, mask, {}, key,
+        scales=scales, ddim_eta=0, chunk_steps=4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(chunked), rtol=1e-5, atol=1e-5
+    )
