@@ -521,16 +521,16 @@ class ResNetBlockStage(nn.Module):
     pack_min_side: int = 0
     dtype: Dtype = jnp.float32
 
-    def _use_packing(self, x) -> bool:
-        # packing quadruples nominal FLOPs but removes lane padding, so
-        # it only wins when channels pad the 128-lane MXU >= 4x, i.e.
-        # C <= 32 (measured on v5e: 32ch stages 1.4x faster packed,
-        # 64ch stages slower)
+    def packs_at(self, side: int) -> bool:
+        """Whether this stage executes space-to-depth packed at the given
+        (unpacked) spatial side. Packing quadruples nominal FLOPs but
+        removes lane padding, so it only wins when channels pad the
+        128-lane MXU >= 4x, i.e. C <= 32 (measured on v5e: 32ch stages
+        1.4x faster packed, 64ch stages slower)."""
         return (
             self.pack_min_side > 0
-            and x.shape[1] >= self.pack_min_side
-            and x.shape[1] % 2 == 0
-            and x.shape[2] % 2 == 0
+            and side >= self.pack_min_side
+            and side % 2 == 0
             and all(
                 rc.output_channels <= 32 for rc in self.resnet_configs
             )
@@ -541,6 +541,11 @@ class ResNetBlockStage(nn.Module):
             )
             and not self.temporal_mode
         )
+
+    def _use_packing(self, x, packed_in: bool = False) -> bool:
+        m = 2 if packed_in else 1
+        h, w = x.shape[1] * m, x.shape[2] * m
+        return w % 2 == 0 and self.packs_at(min(h, w))
 
     def setup(self):
         assert not (self.downsample_output and self.upsample_output)
@@ -600,18 +605,35 @@ class ResNetBlockStage(nn.Module):
         conditioning=None,
         cond_mask=None,
         train: bool = False,
+        packed_in: bool = False,
+        packed_out: bool = False,
     ):
+        """packed_in: x AND incoming skips are already space-to-depth
+        packed (the stage must be packable at that side); emitted skip
+        activations then stay packed too. packed_out: the final
+        activation (after resample, if any) leaves packed — for a packed
+        consumer stage. Both default False: standalone calls keep the
+        unpacked contract and pack/unpack internally. The owning UNet
+        threads a whole-shell plan through these so thin-shell tensors
+        never round-trip layouts at stage boundaries (profiled r2 on
+        v5e: layout copies were 58% of the 1024px forward)."""
         activations = []
         skips = list(skip_activations) if skip_activations is not None else None
-        packed = self._use_packing(x) and not self.is_initializing()
+        packed = (
+            self._use_packing(x, packed_in) and not self.is_initializing()
+        )
+        assert packed or not packed_in, (
+            "packed_in requires a stage that packs at this side"
+        )
         if packed:
             from ml_mdm_tpu.ops import space_to_depth as s2d
 
-            x = s2d.space_to_depth(x)
+            if not packed_in:
+                x = s2d.space_to_depth(x)
         for i in range(self.num_residual_blocks):
             if skips is not None:
                 skip = skips.pop(0)
-                if packed:
+                if packed and not packed_in:
                     skip = s2d.space_to_depth(skip)
                 x = jnp.concatenate([x, skip], axis=-1)
             x = self.resnets[i](x, temb, train=train, packed=packed)
@@ -628,7 +650,7 @@ class ResNetBlockStage(nn.Module):
                 for j in range(L):
                     x = self.t_attn[i * L + j](x, temb)
             activations.append(
-                s2d.depth_to_space(x) if packed else x
+                s2d.depth_to_space(x) if (packed and not packed_in) else x
             )
         if self.downsample_output or self.upsample_output:
             # NOTE: temporal 1-D resampling ((b h w) c t) of the reference
@@ -639,12 +661,31 @@ class ResNetBlockStage(nn.Module):
                 # channel repeat + packed conv (exact rewrites)
                 p = self.variables["params"]["resample"]
                 if self.downsample_output:
-                    x = s2d.packed_strided_conv(
-                        x, p["kernel"], p.get("bias")
-                    )
+                    if packed_out:
+                        x = s2d.packed_strided_conv_p2p(
+                            x, p["kernel"], p.get("bias")
+                        )
+                    else:
+                        x = s2d.packed_strided_conv(
+                            x, p["kernel"], p.get("bias")
+                        )
                 else:
                     x = s2d.packed_upsample_conv(
-                        s2d.depth_to_space(x), p["kernel"], p.get("bias")
+                        x, p["kernel"], p.get("bias"),
+                        in_packed=True, out_packed=packed_out,
+                    )
+            elif packed_out:
+                from ml_mdm_tpu.ops import space_to_depth as s2d
+
+                p = self.variables["params"]["resample"]
+                if self.downsample_output:
+                    x = s2d.space_to_depth(self.resample(x))
+                else:
+                    # unpacked producer, packed consumer: the 4x channel
+                    # repeat IS the packed upsampled image; one packed
+                    # conv lands directly in the consumer's layout
+                    x = s2d.packed_upsample_conv(
+                        x, p["kernel"], p.get("bias"), out_packed=True
                     )
             else:
                 if self.upsample_output:
@@ -653,8 +694,12 @@ class ResNetBlockStage(nn.Module):
                     ).astype(x.dtype)
                 x = self.resample(x)
             activations.append(x)
-        elif packed:
+        elif packed and not packed_out:
             x = s2d.depth_to_space(x)
+        elif packed_out and not packed:
+            from ml_mdm_tpu.ops import space_to_depth as s2d
+
+            x = s2d.space_to_depth(x)
 
         if not return_activations:
             return x

@@ -187,16 +187,18 @@ class NestedUNet(UNet):
         bsz = [x.shape[0] for x in x_t]
         bh, bl = bsz[0], bsz[1]
         x_t_low, x_hi = x_t[1:], x_t[0]
+        plan = self._pack_plan(x_hi)
         x = self.forward_input_layer(
-            x_hi, normalize=not self.config.skip_normalization
+            x_hi, normalize=not self.config.skip_normalization,
+            packed=plan[0],
         )
         if self.config.nesting:
-            x = x + x_feat
+            x = x + x_feat  # plan[0] is False for nesting shells
 
         cm = cond_mask[:bh] if cond_mask is not None else None
         cond_hi = conditioning[:bh] if conditioning is not None else None
         x, skip_activations = self.forward_downsample(
-            x, temb[:bh], cond_hi, cm, train=train
+            x, temb[:bh], cond_hi, cm, train=train, plan=plan
         )
 
         # inner unet (pad zeros for the mixed-batch low-res rows)
@@ -217,9 +219,10 @@ class NestedUNet(UNet):
         x = x + (x_inner[:bh] if bh < bl else x_inner)
 
         x = self.forward_upsample(
-            x, temb[:bh], cond_hi, cm, skip_activations, train=train
+            x, temb[:bh], cond_hi, cm, skip_activations, train=train,
+            plan=plan,
         )
-        x_out = self.forward_output_layer(x)
+        x_out = self.forward_output_layer(x, packed=plan[0])
 
         out = [x_out] + x_low if isinstance(x_low, list) else [x_out, x_low]
         if self.config.nesting:

@@ -111,27 +111,18 @@ def parse_micro_conditions(spec: Optional[str]) -> Optional[Dict[str, float]]:
     }
 
 
-class TimestepEmbedding(nn.Module):
-    """Sinusoidal frequencies shared by time + micro conditioning
-    (unet.py:600-606, 834-845). The 2-layer MLP is owned by the caller."""
-
-    temporal_dim: int
-
-    @staticmethod
-    def frequencies(temporal_dim: int) -> np.ndarray:
-        half_dim = temporal_dim // 8
-        emb = math.log(10000) / half_dim
-        return np.exp(np.arange(half_dim, dtype=np.float64) * -emb).astype(
-            np.float32
-        )
-
-    @nn.compact
-    def __call__(self, times):
-        raise NotImplementedError("use UNet.create_temporal_embedding")
+def sinusoidal_frequencies(temporal_dim: int) -> np.ndarray:
+    """Sinusoidal frequency table shared by time + micro conditioning
+    (reference unet.py:600-606, 834-845)."""
+    half_dim = temporal_dim // 8
+    emb = math.log(10000) / half_dim
+    return np.exp(np.arange(half_dim, dtype=np.float64) * -emb).astype(
+        np.float32
+    )
 
 
 def sinusoidal_embedding(times: jnp.ndarray, temporal_dim: int) -> jnp.ndarray:
-    freqs = jnp.asarray(TimestepEmbedding.frequencies(temporal_dim))
+    freqs = jnp.asarray(sinusoidal_frequencies(temporal_dim))
     temb = times.astype(jnp.float32).reshape(-1, 1) * freqs[None, :]
     return jnp.concatenate([jnp.sin(temb), jnp.cos(temb)], axis=1)
 
@@ -380,7 +371,36 @@ class UNet(nn.Module):
         cond_emb = self.cond_emb(y)
         return cond_emb, conditioning, cond_mask
 
-    def forward_input_layer(self, x_t, normalize=False):
+    def _pack_plan(self, x_t):
+        """Static per-resolution packed-execution plan for one forward.
+
+        plan[i] == True means stage i (both its down and up block — they
+        share side/channels/attention so the decision is identical) runs
+        space-to-depth packed AND its boundary tensors (x handoffs, skip
+        activations, conv_in/conv_out) stay packed. The last stage is
+        never packed: the mid blocks / nested-UNet adapters live there
+        and expect the plain layout. A nesting (inner) UNet keeps stage
+        0 unpacked too — its pre-output feature is returned to the outer
+        shell. Layout round-trips at stage boundaries were 58% of the
+        1024px forward before this (profiled on v5e, r2)."""
+        if isinstance(x_t, (list, tuple)):
+            x_t = x_t[0]
+        side = min(x_t.shape[1], x_t.shape[2])
+        n = len(self.down_blocks)
+        plan = []
+        for i, blk in enumerate(self.down_blocks):
+            packed = (
+                not self.is_initializing()
+                and i != n - 1
+                and (x_t.shape[1] >> i) % 2 == 0
+                and (x_t.shape[2] >> i) % 2 == 0
+                and blk.packs_at(side >> i)
+                and not (i == 0 and self.config.nesting)
+            )
+            plan.append(packed)
+        return plan
+
+    def forward_input_layer(self, x_t, normalize=False, packed=False):
         if isinstance(x_t, list) and len(x_t) == 1:
             x_t = x_t[0]
         if normalize:
@@ -390,51 +410,85 @@ class UNet(nn.Module):
                 ddof=1,
             ).astype(x_t.dtype)
             x_t = x_t / std
+        if packed:
+            # pack once at shell entry; conv_in runs full-width on the
+            # MXU ((3,3,3,C) -> (3,3,12,4C)) instead of a 3-channel conv
+            # at full resolution
+            from ml_mdm_tpu.ops import space_to_depth as s2d
+
+            p = self.variables["params"]["conv_in"]
+            return s2d.packed_conv(
+                s2d.space_to_depth(x_t.astype(self.dtype)),
+                p["kernel"], p.get("bias"),
+            )
         return self.conv_in(x_t)
 
-    def forward_output_layer(self, x):
+    def forward_output_layer(self, x, packed=False):
+        if packed:
+            from ml_mdm_tpu.models.layers import group_norm_coeffs
+            from ml_mdm_tpu.ops import space_to_depth as s2d
+
+            pn = self.variables["params"]["norm_out"]
+            a, b = group_norm_coeffs(
+                x,
+                s2d.pack_channel_vector(pn["scale"]),
+                s2d.pack_channel_vector(pn["bias"]),
+                self.config.resnet_config.num_groups_norm,
+            )
+            h = jax.nn.silu(x * a.astype(x.dtype) + b.astype(x.dtype))
+            pc = self.variables["params"]["conv_out"]
+            return s2d.depth_to_space(
+                s2d.packed_conv(h, pc["kernel"], pc.get("bias"))
+            )
         return self.conv_out(jax.nn.silu(self.norm_out(x)))
 
-    def forward_downsample(self, x, temb, conditioning, cond_mask, train=False):
+    def forward_downsample(self, x, temb, conditioning, cond_mask,
+                           train=False, plan=None):
+        plan = plan or [False] * len(self.down_blocks)
         skip_activations = [x]
         for i, block in enumerate(self.down_blocks):
+            packed_out = plan[i + 1] if i + 1 < len(plan) else False
+            kw = dict(
+                return_activations=True, train=train,
+                packed_in=plan[i], packed_out=packed_out,
+            )
             if i in self.config.attention_levels:
                 x, acts = block(
-                    x,
-                    temb,
-                    return_activations=True,
-                    conditioning=conditioning,
-                    cond_mask=cond_mask,
-                    train=train,
+                    x, temb, conditioning=conditioning,
+                    cond_mask=cond_mask, **kw,
                 )
             else:
-                x, acts = block(x, temb, return_activations=True, train=train)
+                x, acts = block(x, temb, **kw)
             skip_activations.extend(acts)
         return x, skip_activations
 
     def forward_upsample(
-        self, x, temb, conditioning, cond_mask, skip_activations, train=False
+        self, x, temb, conditioning, cond_mask, skip_activations,
+        train=False, plan=None,
     ):
         num_res = len(self.config.resolution_channels)
+        plan = plan or [False] * num_res
         skips = list(skip_activations)
         for i, block in enumerate(self.up_blocks):
             ri = num_res - 1 - i
+            # after the resample the tensor lands at the NEXT up stage's
+            # resolution (ri-1); the final stage (ri == 0) hands off to
+            # the output layer, which consumes plan[0]'s form directly
+            packed_out = plan[ri - 1] if ri > 0 else plan[0]
             num_skip = self.config.num_resnets_per_resolution[ri] + 1
             skip_connections = skips[-num_skip:]
             skip_connections.reverse()
+            kw = dict(
+                skip_activations=skip_connections, train=train,
+                packed_in=plan[ri], packed_out=packed_out,
+            )
             if ri in self.config.attention_levels:
                 x = block(
-                    x,
-                    temb,
-                    skip_activations=skip_connections,
-                    conditioning=conditioning,
-                    cond_mask=cond_mask,
-                    train=train,
+                    x, temb, conditioning=conditioning,
+                    cond_mask=cond_mask, **kw,
                 )
             else:
-                x = block(
-                    x, temb, skip_activations=skip_connections, train=train
-                )
+                x = block(x, temb, **kw)
             del skips[-num_skip:]
         return x
 
@@ -477,12 +531,13 @@ class UNet(nn.Module):
 
         if self.config.nesting:
             x_t, x_feat = x_t
-        x = self.forward_input_layer(x_t)
+        plan = self._pack_plan(x_t)
+        x = self.forward_input_layer(x_t, packed=plan[0])
         if self.config.nesting:
-            x = x + x_feat
+            x = x + x_feat  # plan[0] is False for nesting UNets
 
         x, skip_activations = self.forward_downsample(
-            x, temb, conditioning, cond_mask, train=train
+            x, temb, conditioning, cond_mask, train=train, plan=plan
         )
 
         if not self.config.skip_mid_blocks:
@@ -493,10 +548,11 @@ class UNet(nn.Module):
             x = self.mid_blocks[1](x, temb, train=train)
 
         x = self.forward_upsample(
-            x, temb, conditioning, cond_mask, skip_activations, train=train
+            x, temb, conditioning, cond_mask, skip_activations, train=train,
+            plan=plan,
         )
 
-        x_out = self.forward_output_layer(x)
+        x_out = self.forward_output_layer(x, packed=plan[0])
         if self.config.nesting:
             return x_out, x
         return x_out

@@ -149,10 +149,63 @@ def packed_strided_conv(x_packed, kernel, bias=None):
     return y
 
 
-def packed_upsample_conv(x, kernel, bias=None):
+def packed_upsample_conv(x, kernel, bias=None, in_packed=False,
+                         out_packed=False):
     """nearest-2x upsample + 3x3 conv, computed packed: x (B,S,S,C) ->
     (B,2S,2S,Cout). The upsampled image packed at the S grid is just a
-    4x channel repeat (all four sub-pixels of a cell equal x[i,j])."""
+    4x channel repeat (all four sub-pixels of a cell equal x[i,j]).
+
+    in_packed: x is (B,S/2,S/2,4C), the packed form of the S-side image.
+    out_packed: return (B,S,S,4Cout) (the 2S-side image packed at the S
+    grid) instead of unpacking — lets the consumer stage run packed with
+    zero extra layout moves."""
+    if in_packed:
+        x = depth_to_space(x)
     xp = jnp.repeat(x, 4, axis=-1)  # (B,S,S,4C), order c*4+dd
     y = packed_conv(xp, kernel, bias)  # (B,S,S,4Cout)
-    return depth_to_space(y)
+    return y if out_packed else depth_to_space(y)
+
+
+def pack_strided_conv_kernel_p2p(kernel: jnp.ndarray) -> jnp.ndarray:
+    """Stride-2 3x3 conv (downsample) executed packed-in -> packed-out:
+    (3,3,Cin,Cout) -> (3,3,4Cin,4Cout), applied with stride 2 on the
+    input packed grid.
+
+    Output packed cell i holds downsampled rows I in {2i, 2i+1};
+    D(I) = sum_dy W[dy] x(2I+dy); source original row r = 4i+2di+dy
+    lives in input packed cell p = 2i+ky sub-position ei with
+    dy = 2(ky-di)+ei. For |dy|<=1 that gives ky in {-1,0,1}: a 3x3
+    stride-2 conv over packed cells."""
+    _, _, cin, cout = kernel.shape
+    out = jnp.zeros((3, 3, 4 * cin, 4 * cout), kernel.dtype)
+    for ky in (-1, 0, 1):
+        for kx in (-1, 0, 1):
+            for ei in (0, 1):
+                for ej in (0, 1):
+                    for di in (0, 1):
+                        for dj in (0, 1):
+                            dy = 2 * (ky - di) + ei
+                            dx = 2 * (kx - dj) + ej
+                            if dy < -1 or dy > 1 or dx < -1 or dx > 1:
+                                continue
+                            rows = jnp.arange(cin) * 4 + (ei * 2 + ej)
+                            cols = jnp.arange(cout) * 4 + (di * 2 + dj)
+                            out = out.at[
+                                ky + 1, kx + 1, rows[:, None], cols[None, :]
+                            ].set(kernel[dy + 1, dx + 1])
+    return out
+
+
+def packed_strided_conv_p2p(x_packed, kernel, bias=None):
+    """Downsample conv, packed to packed: (B,S/2,S/2,4Cin) ->
+    (B,S/4,S/4,4Cout) == packed(stride-2 3x3 conv of the (B,S,S,Cin)
+    image). One MXU conv, no layout moves on either side."""
+    pk = pack_strided_conv_kernel_p2p(kernel)
+    y = jax.lax.conv_general_dilated(
+        x_packed, pk.astype(x_packed.dtype),
+        window_strides=(2, 2), padding=[(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if bias is not None:
+        y = y + pack_channel_vector(bias).astype(y.dtype)
+    return y

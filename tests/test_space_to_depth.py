@@ -134,3 +134,142 @@ def test_packed_upsample_conv_exact():
     out = s2d.packed_upsample_conv(x, w, b)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_packed_strided_conv_p2p_exact():
+    key = jax.random.PRNGKey(7)
+    k1, k2, k3 = jax.random.split(key, 3)
+    x = jax.random.normal(k1, (2, 16, 16, 4))
+    w = jax.random.normal(k2, (3, 3, 4, 6)) * 0.2
+    b = jax.random.normal(k3, (6,))
+    ref = jax.lax.conv_general_dilated(
+        x, w, (2, 2), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + b
+    out = s2d.depth_to_space(
+        s2d.packed_strided_conv_p2p(s2d.space_to_depth(x), w, b)
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("in_packed", [False, True])
+@pytest.mark.parametrize("out_packed", [False, True])
+def test_packed_upsample_conv_io_forms(in_packed, out_packed):
+    key = jax.random.PRNGKey(8)
+    k1, k2, k3 = jax.random.split(key, 3)
+    x = jax.random.normal(k1, (2, 8, 8, 4))
+    w = jax.random.normal(k2, (3, 3, 4, 6)) * 0.2
+    b = jax.random.normal(k3, (6,))
+    up = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+    ref = jax.lax.conv_general_dilated(
+        up, w, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + b
+    xin = s2d.space_to_depth(x) if in_packed else x
+    out = s2d.packed_upsample_conv(
+        xin, w, b, in_packed=in_packed, out_packed=out_packed
+    )
+    if out_packed:
+        out = s2d.depth_to_space(out)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_packed_unet_three_level_plan_exact():
+    """UNet with TWO adjacent packed stages: exercises the packed->packed
+    strided downsample, packed skip handoffs, packed conv_in/conv_out,
+    and the packed-out upsample transitions."""
+    from ml_mdm_tpu.models.layers import ResNetConfig
+    from ml_mdm_tpu.models.unet import UNet, UNetConfig
+
+    kw = dict(
+        resolution_channels=[8, 8, 16],
+        num_resnets_per_resolution=[2, 2, 1],
+        attention_levels=[],
+        num_attention_layers=[0, 0, 0],
+        conditioning_feature_dim=16,
+        masked_cross_attention=0,
+        skip_mid_blocks=True,
+        skip_cond_emb=False,
+        resnet_config=ResNetConfig(num_groups_norm=4, dropout=0.0,
+                                   use_attention_ffn=False),
+    )
+    m_plain = UNet(3, 3, UNetConfig(pack_min_side=0, **kw))
+    m_packed = UNet(3, 3, UNetConfig(pack_min_side=16, **kw))
+
+    b, side = 2, 32  # stages at 32 and 16 pack; 8 (last) does not
+    x = jax.random.normal(jax.random.PRNGKey(0), (b, side, side, 3))
+    t = jnp.asarray([3, 7], jnp.int32)
+    lm = jax.random.normal(jax.random.PRNGKey(1), (b, 4, 16))
+    mask = jnp.ones((b, 4))
+    params = jax.jit(m_plain.init)(
+        jax.random.PRNGKey(2), x, t, lm, mask, {}
+    )["params"]
+
+    ref = m_plain.apply({"params": params}, x, t, lm, mask, {})
+    out = m_packed.apply({"params": params}, x, t, lm, mask, {})
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_packed_nested_shell_plan_exact():
+    """NestedUNet outer shell with packed stages == unpacked, same
+    params (the cc12m_1024 shape in miniature)."""
+    from ml_mdm_tpu.models.layers import ResNetConfig
+    from ml_mdm_tpu.models.nested_unet import NestedUNet, NestedUNetConfig
+    from ml_mdm_tpu.models.unet import UNetConfig
+
+    inner = dict(
+        resolution_channels=[16, 32],
+        num_resnets_per_resolution=[1, 1],
+        attention_levels=[1],
+        num_attention_layers=[0, 1],
+        conditioning_feature_dim=16,
+        masked_cross_attention=0,
+        skip_mid_blocks=False,
+        skip_cond_emb=False,
+        nesting=True,
+        resnet_config=ResNetConfig(num_groups_norm=4, dropout=0.0,
+                                   use_attention_ffn=False),
+    )
+    outer = dict(
+        resolution_channels=[8, 8, 16],
+        num_resnets_per_resolution=[2, 2, 1],
+        attention_levels=[],
+        num_attention_layers=[0, 0, 0],
+        conditioning_feature_dim=16,
+        num_lm_head_layers=0,
+        masked_cross_attention=0,
+        skip_mid_blocks=True,
+        skip_cond_emb=True,
+        skip_inner_unet_input=False,
+        skip_normalization=True,
+        temporal_dim=64,
+        resnet_config=ResNetConfig(num_groups_norm=4, dropout=0.0,
+                                   use_attention_ffn=False),
+    )
+    m_plain = NestedUNet(3, 3, NestedUNetConfig(
+        pack_min_side=0,
+        inner_config=UNetConfig(pack_min_side=0, **inner), **outer))
+    m_packed = NestedUNet(3, 3, NestedUNetConfig(
+        pack_min_side=16,
+        inner_config=UNetConfig(pack_min_side=16, **inner), **outer))
+
+    b = 2
+    xs = [
+        jax.random.normal(jax.random.PRNGKey(0), (b, 32, 32, 3)),
+        jax.random.normal(jax.random.PRNGKey(1), (b, 8, 8, 3)),
+    ]
+    t = jnp.asarray([3, 7], jnp.int32)
+    lm = jax.random.normal(jax.random.PRNGKey(2), (b, 4, 16))
+    mask = jnp.ones((b, 4))
+    params = jax.jit(m_plain.init)(
+        jax.random.PRNGKey(3), xs, t, lm, mask, {}
+    )["params"]
+
+    refs = m_plain.apply({"params": params}, xs, t, lm, mask, {})
+    outs = m_packed.apply({"params": params}, xs, t, lm, mask, {})
+    for r, o in zip(refs, outs):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                   rtol=2e-5, atol=2e-5)
