@@ -19,6 +19,7 @@ mechanical rename + layout transpose (see utils/torch_compat.py).
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass, field
 from typing import Any, Callable, List, Optional, Sequence
 
@@ -32,6 +33,13 @@ Dtype = Any
 
 zeros_init = nn.initializers.zeros
 default_kernel_init = nn.initializers.lecun_normal()
+
+
+def _fused_resnet_mode():
+    """See ops/fused_resnet.fused_mode (eval-only Pallas conv path)."""
+    from ml_mdm_tpu.ops.fused_resnet import fused_mode
+
+    return fused_mode()
 
 
 @dataclass
@@ -116,32 +124,74 @@ def group_norm_coeffs(x, scale, bias, g, eps: float = 1e-5):
     precision, and f32 models are the CPU/parity path where bandwidth
     does not matter."""
     c = x.shape[-1]
-    shape = x.shape[:-1] + (g, c // g)
-    xg = x.reshape(shape)
-    red = tuple(range(1, len(shape) - 2)) + (len(shape) - 1,)
-    mean = jnp.mean(xg, axis=red, keepdims=True, dtype=jnp.float32)
+    b_, cg = x.shape[0], c // g
+    ones = (1,) * (len(x.shape) - 2)
+    spatial = tuple(range(1, x.ndim - 1))
+    n = cg
+    for ax in spatial:
+        n *= x.shape[ax]
     if x.dtype == jnp.bfloat16:
-        msq = jnp.mean(
-            jnp.square(xg.astype(jnp.float32)), axis=red, keepdims=True,
-            dtype=jnp.float32,
-        )
+        # Two-stage reduction that never reshapes the big tensor: sum
+        # over the spatial axes of the plain NHWC activation (f32
+        # accumulation over bf16 reads), then group-fold the tiny (B,C)
+        # partials. Reshaping (B,H,W,C)->(B,H,W,g,c') before reducing
+        # forces XLA to materialise (and relayout) the activation out of
+        # its conv-tiled layout — profiled as the dominant HBM cost of
+        # the packed 1024px shells. The square runs in bf16 (~2^-9
+        # relative noise per element, averaged down by the huge group
+        # size); both accumulations stay f32 via the reduction dtype.
+        s1 = jnp.sum(x, axis=spatial, dtype=jnp.float32)  # (B, C)
+        s2 = jnp.sum(jnp.square(x), axis=spatial, dtype=jnp.float32)
+        mean = s1.reshape(b_, g, cg).sum(-1, keepdims=True) / n  # (B,g,1)
+        msq = s2.reshape(b_, g, cg).sum(-1, keepdims=True) / n
         var = jnp.maximum(msq - jnp.square(mean), 0.0)
     else:
-        var = jnp.mean(
-            jnp.square(xg.astype(jnp.float32) - mean),
+        # centered two-pass form: f32 inputs are the CPU/parity path
+        # where the E[x^2]-mean^2 cancellation WOULD lose real precision
+        # and bandwidth does not matter
+        xg = x.reshape(x.shape[:-1] + (g, cg))
+        red = tuple(range(1, xg.ndim - 2)) + (xg.ndim - 1,)
+        mean4 = jnp.mean(xg, axis=red, keepdims=True, dtype=jnp.float32)
+        var4 = jnp.mean(
+            jnp.square(xg.astype(jnp.float32) - mean4),
             axis=red, keepdims=True, dtype=jnp.float32,
         )
-    inv = jax.lax.rsqrt(var + eps)  # (B,1,..,g,1)
-    ones = (1,) * (len(x.shape) - 2)
-    inv_c = jnp.broadcast_to(inv, inv.shape[:-2] + (g, c // g)).reshape(
-        (x.shape[0],) + ones + (c,)
+        mean = mean4.reshape(b_, g, 1)
+        var = var4.reshape(b_, g, 1)
+    return _gn_affine_from_moments(mean, var, scale, bias, b_, g, cg,
+                                   ones, eps)
+
+
+def _gn_affine_from_moments(mean, var, scale, bias, b_, g, cg, ones,
+                            eps: float):
+    """(B,g,1) moments -> broadcastable (a, b) affine coefficients."""
+    c = g * cg
+    inv = jax.lax.rsqrt(var + eps)  # (B, g, 1)
+    inv_c = jnp.broadcast_to(inv, (b_, g, cg)).reshape((b_,) + ones + (c,))
+    mean_c = jnp.broadcast_to(mean, (b_, g, cg)).reshape(
+        (b_,) + ones + (c,)
     )
-    mean_c = jnp.broadcast_to(
-        mean, mean.shape[:-2] + (g, c // g)
-    ).reshape((x.shape[0],) + ones + (c,))
     a = inv_c * scale
     b = bias - mean_c * a
     return a, b
+
+
+def group_norm_coeffs_from_sums(s1, s2, n_spatial, scale, bias, g,
+                                eps: float = 1e-5, ndim: int = 4):
+    """GroupNorm affine coefficients from per-channel spatial sums.
+
+    s1, s2: (B, C) f32 sum / sum-of-squares over the spatial axes (e.g.
+    emitted by the fused resnet kernel); n_spatial: number of spatial
+    positions summed. Numerically matches group_norm_coeffs' bf16
+    branch (same E[x^2]-mean^2 form, f32 accumulation)."""
+    b_, c = s1.shape
+    cg = c // g
+    n = n_spatial * cg
+    mean = s1.reshape(b_, g, cg).sum(-1, keepdims=True) / n
+    msq = s2.reshape(b_, g, cg).sum(-1, keepdims=True) / n
+    var = jnp.maximum(msq - jnp.square(mean), 0.0)
+    return _gn_affine_from_moments(mean, var, scale, bias, b_, g, cg,
+                                   (1,) * (ndim - 2), eps)
 
 
 class LayerNormF32(nn.Module):
@@ -231,7 +281,28 @@ class ResNet(nn.Module):
                     h, rep(p[name]["scale"]), rep(p[name]["bias"]), g
                 )
 
-            return self._forward(x, temb, train, conv, coeffs, rep)
+            fused = None
+            gn_params = None
+            if not train and _fused_resnet_mode() is not None:
+                from ml_mdm_tpu.ops import fused_resnet as fr
+
+                def fused(name, h, a, b, residual, **kw):  # noqa: F811
+                    return fr.affine_silu_conv3x3(
+                        h,
+                        a.reshape(a.shape[0], a.shape[-1]),
+                        b.reshape(b.shape[0], b.shape[-1]),
+                        s2d.pack_conv3x3_kernel(p[name]["kernel"]),
+                        rep(p[name].get("bias")),
+                        residual,
+                        interpret=_fused_resnet_mode() == "interpret",
+                        **kw,
+                    )
+
+                def gn_params(name):  # noqa: F811
+                    return rep(p[name]["scale"]), rep(p[name]["bias"])
+
+            return self._forward(x, temb, train, conv, coeffs, rep,
+                                 fused=fused, gn_params=gn_params)
 
         def conv(name, h):
             return getattr(self, name)(h)
@@ -239,13 +310,56 @@ class ResNet(nn.Module):
         def coeffs(name, h):
             return getattr(self, name).affine_coeffs(h)
 
-        return self._forward(x, temb, train, conv, coeffs, lambda v: v)
+        min_side = int(os.environ.get("ML_MDM_TPU_FUSED_MIN_SIDE", "128"))
+        fused = None
+        gn_params = None
+        if (
+            not train
+            and not self.is_initializing()
+            and min(x.shape[1], x.shape[2]) >= min_side
+            and _fused_resnet_mode() is not None
+        ):
+            # large-spatial unpacked stages (e.g. the 256px shell) hit
+            # the same XLA conv-layout round-trips as the packed ones;
+            # the fused kernel applies unchanged with the raw kernels
+            p = self.variables["params"]
 
-    def _forward(self, x, temb, train, conv, coeffs, vec):
+            def fused(name, h, a, b, residual, **kw):  # noqa: F811
+                from ml_mdm_tpu.ops import fused_resnet as fr
+
+                return fr.affine_silu_conv3x3(
+                    h,
+                    a.reshape(a.shape[0], a.shape[-1]),
+                    b.reshape(b.shape[0], b.shape[-1]),
+                    p[name]["kernel"],
+                    p[name].get("bias"),
+                    residual,
+                    interpret=_fused_resnet_mode() == "interpret",
+                    **kw,
+                )
+
+            def gn_params(name):  # noqa: F811
+                return p[name]["scale"], p[name]["bias"]
+
+        return self._forward(x, temb, train, conv, coeffs, lambda v: v,
+                             fused=fused, gn_params=gn_params)
+
+    def _forward(self, x, temb, train, conv, coeffs, vec, fused=None,
+                 gn_params=None):
         cfg = self.config
         a1, b1 = coeffs("norm1", x)
-        h = conv("conv1", jax.nn.silu(x * a1.astype(x.dtype)
-                                      + b1.astype(x.dtype)))
+        if fused is not None:
+            # Pallas path (ops/fused_resnet.py): norm-affine + SiLU +
+            # conv + residual in one kernel, plain NHWC layout — the
+            # XLA conv's internal spatial-tiled layout otherwise costs
+            # a relayout copy at every non-conv consumer. The kernel
+            # also emits sum/sum-of-squares of its output, so norm2's
+            # statistics never re-read the activation. Eval only.
+            h, hs1, hs2 = fused("conv1", x, a1, b1, None,
+                                emit_stats=True)
+        else:
+            h = conv("conv1", jax.nn.silu(x * a1.astype(x.dtype)
+                                          + b1.astype(x.dtype)))
         t = self.time_layer(jax.nn.silu(temb))  # (B, 2*out)
         t = _maybe_repeat_temb(h, t)
         ta, tb = jnp.split(t, 2, axis=-1)
@@ -254,7 +368,23 @@ class ResNet(nn.Module):
         # fold FiLM into the norm's affine: norm(h)*(1+ta)+tb == h*a'+b'
         # — one fused multiply-add over the activation instead of three
         # elementwise passes (unet.py:226-233 semantics preserved)
-        a2, b2 = coeffs("norm2", h)
+        if fused is not None:
+            scale2, bias2 = gn_params("norm2")
+            a2, b2 = group_norm_coeffs_from_sums(
+                hs1, hs2, h.shape[1] * h.shape[2], scale2, bias2,
+                cfg.num_groups_norm,
+            )
+        else:
+            a2, b2 = coeffs("norm2", h)
+        if fused is not None:
+            a2f = a2 * (1.0 + ta)
+            b2f = b2 * (1.0 + ta) + tb
+            res = (
+                conv("conv3", x)
+                if cfg.output_channels != cfg.num_channels
+                else x
+            )
+            return fused("conv2", h, a2f, b2f, res)
         a2 = (a2 * (1.0 + ta)).astype(h.dtype)
         b2 = (b2 * (1.0 + ta) + tb).astype(h.dtype)
         h = jax.nn.silu(h * a2 + b2)
@@ -655,6 +785,7 @@ class ResNetBlockStage(nn.Module):
         if self.downsample_output or self.upsample_output:
             # NOTE: temporal 1-D resampling ((b h w) c t) of the reference
             # applies only in temporal_mode without spatial_ds; 2-D path here.
+            fast = not train and _fused_resnet_mode() is not None
             if packed:
                 # resample directly in the packed domain: the stride-2
                 # conv lands on the packed grid; upsample+conv is a 4x
@@ -672,7 +803,7 @@ class ResNetBlockStage(nn.Module):
                 else:
                     x = s2d.packed_upsample_conv(
                         x, p["kernel"], p.get("bias"),
-                        in_packed=True, out_packed=packed_out,
+                        in_packed=True, out_packed=packed_out, fast=fast,
                     )
             elif packed_out:
                 from ml_mdm_tpu.ops import space_to_depth as s2d
@@ -685,7 +816,8 @@ class ResNetBlockStage(nn.Module):
                     # repeat IS the packed upsampled image; one packed
                     # conv lands directly in the consumer's layout
                     x = s2d.packed_upsample_conv(
-                        x, p["kernel"], p.get("bias"), out_packed=True
+                        x, p["kernel"], p.get("bias"), out_packed=True,
+                        fast=fast,
                     )
             else:
                 if self.upsample_output:

@@ -190,7 +190,7 @@ class NestedUNet(UNet):
         plan = self._pack_plan(x_hi)
         x = self.forward_input_layer(
             x_hi, normalize=not self.config.skip_normalization,
-            packed=plan[0],
+            packed=plan[0], train=train,
         )
         if self.config.nesting:
             x = x + x_feat  # plan[0] is False for nesting shells
@@ -222,7 +222,7 @@ class NestedUNet(UNet):
             x, temb[:bh], cond_hi, cm, skip_activations, train=train,
             plan=plan,
         )
-        x_out = self.forward_output_layer(x, packed=plan[0])
+        x_out = self.forward_output_layer(x, packed=plan[0], train=train)
 
         out = [x_out] + x_low if isinstance(x_low, list) else [x_out, x_low]
         if self.config.nesting:

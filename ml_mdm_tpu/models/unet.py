@@ -400,7 +400,8 @@ class UNet(nn.Module):
             plan.append(packed)
         return plan
 
-    def forward_input_layer(self, x_t, normalize=False, packed=False):
+    def forward_input_layer(self, x_t, normalize=False, packed=False,
+                            train=False):
         if isinstance(x_t, list) and len(x_t) == 1:
             x_t = x_t[0]
         if normalize:
@@ -419,14 +420,15 @@ class UNet(nn.Module):
             p = self.variables["params"]["conv_in"]
             return s2d.packed_conv(
                 s2d.space_to_depth(x_t.astype(self.dtype)),
-                p["kernel"], p.get("bias"),
+                p["kernel"], p.get("bias"), fast=not train,
             )
         return self.conv_in(x_t)
 
-    def forward_output_layer(self, x, packed=False):
+    def forward_output_layer(self, x, packed=False, train=False):
         if packed:
             from ml_mdm_tpu.models.layers import group_norm_coeffs
             from ml_mdm_tpu.ops import space_to_depth as s2d
+            from ml_mdm_tpu.ops import fused_resnet as fr
 
             pn = self.variables["params"]["norm_out"]
             a, b = group_norm_coeffs(
@@ -435,8 +437,19 @@ class UNet(nn.Module):
                 s2d.pack_channel_vector(pn["bias"]),
                 self.config.resnet_config.num_groups_norm,
             )
-            h = jax.nn.silu(x * a.astype(x.dtype) + b.astype(x.dtype))
             pc = self.variables["params"]["conv_out"]
+            mode = fr.fused_mode()
+            if mode is not None and not train:
+                # GN-affine + SiLU + conv_out in one Pallas pass
+                return s2d.depth_to_space(fr.affine_silu_conv3x3(
+                    x,
+                    a.reshape(a.shape[0], a.shape[-1]),
+                    b.reshape(b.shape[0], b.shape[-1]),
+                    s2d.pack_conv3x3_kernel(pc["kernel"]),
+                    s2d.pack_channel_vector(pc["bias"]),
+                    interpret=mode == "interpret",
+                ))
+            h = jax.nn.silu(x * a.astype(x.dtype) + b.astype(x.dtype))
             return s2d.depth_to_space(
                 s2d.packed_conv(h, pc["kernel"], pc.get("bias"))
             )
@@ -532,7 +545,7 @@ class UNet(nn.Module):
         if self.config.nesting:
             x_t, x_feat = x_t
         plan = self._pack_plan(x_t)
-        x = self.forward_input_layer(x_t, packed=plan[0])
+        x = self.forward_input_layer(x_t, packed=plan[0], train=train)
         if self.config.nesting:
             x = x + x_feat  # plan[0] is False for nesting UNets
 
@@ -552,7 +565,7 @@ class UNet(nn.Module):
             plan=plan,
         )
 
-        x_out = self.forward_output_layer(x, packed=plan[0])
+        x_out = self.forward_output_layer(x, packed=plan[0], train=train)
         if self.config.nesting:
             return x_out, x
         return x_out

@@ -90,16 +90,24 @@ def pack_channel_vector(v: jnp.ndarray) -> jnp.ndarray:
 
 
 def packed_conv(x_packed: jnp.ndarray, kernel: jnp.ndarray,
-                bias: jnp.ndarray = None) -> jnp.ndarray:
+                bias: jnp.ndarray = None, fast: bool = False) -> jnp.ndarray:
     """3x3 (or 1x1) conv on the packed representation. kernel is the
     ORIGINAL unpacked HWIO kernel; transform happens here (tiny, traced
-    once per jit)."""
+    once per jit). ``fast`` routes the 3x3 case through the Pallas
+    fused-conv kernel (forward-only — no autodiff; eval paths only)."""
     if kernel.shape[0] == 1:
         pk = pack_conv1x1_kernel(kernel)
         pad = "VALID"
     else:
         pk = pack_conv3x3_kernel(kernel)
         pad = [(1, 1), (1, 1)]
+        if fast:
+            from ml_mdm_tpu.ops.fused_resnet import conv3x3_fast
+
+            return conv3x3_fast(
+                x_packed, pk,
+                None if bias is None else pack_channel_vector(bias),
+            )
     y = jax.lax.conv_general_dilated(
         x_packed, pk.astype(x_packed.dtype),
         window_strides=(1, 1), padding=pad,
@@ -150,7 +158,7 @@ def packed_strided_conv(x_packed, kernel, bias=None):
 
 
 def packed_upsample_conv(x, kernel, bias=None, in_packed=False,
-                         out_packed=False):
+                         out_packed=False, fast: bool = False):
     """nearest-2x upsample + 3x3 conv, computed packed: x (B,S,S,C) ->
     (B,2S,2S,Cout). The upsampled image packed at the S grid is just a
     4x channel repeat (all four sub-pixels of a cell equal x[i,j]).
@@ -162,7 +170,7 @@ def packed_upsample_conv(x, kernel, bias=None, in_packed=False,
     if in_packed:
         x = depth_to_space(x)
     xp = jnp.repeat(x, 4, axis=-1)  # (B,S,S,4C), order c*4+dd
-    y = packed_conv(xp, kernel, bias)  # (B,S,S,4Cout)
+    y = packed_conv(xp, kernel, bias, fast=fast)  # (B,S,S,4Cout)
     return y if out_packed else depth_to_space(y)
 
 

@@ -273,3 +273,61 @@ def test_packed_nested_shell_plan_exact():
     for r, o in zip(refs, outs):
         np.testing.assert_allclose(np.asarray(o), np.asarray(r),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_fused_resnet_kernel_exact():
+    """Pallas fused affine+silu+conv3x3 == pure-XLA reference
+    (interpret mode so it runs on CPU)."""
+    from ml_mdm_tpu.ops.fused_resnet import (
+        affine_silu_conv3x3, reference_affine_silu_conv3x3)
+
+    ks = jax.random.split(jax.random.PRNGKey(0), 6)
+    B, H, W, C, CO = 2, 16, 12, 8, 8
+    x = jax.random.normal(ks[0], (B, H, W, C)) * 0.5
+    a = jax.random.normal(ks[1], (B, C)) * 0.2 + 1.0
+    b = jax.random.normal(ks[2], (B, C)) * 0.1
+    w = jax.random.normal(ks[3], (3, 3, C, CO)) * 0.1
+    bias = jax.random.normal(ks[4], (CO,)) * 0.1
+    res = jax.random.normal(ks[5], (B, H, W, CO))
+    for r in (None, res):
+        got = affine_silu_conv3x3(x, a, b, w, bias, r, interpret=True)
+        ref = reference_affine_silu_conv3x3(x, a, b, w, bias, r)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_fused_resnet_stage_matches_plain(monkeypatch):
+    """The packed UNet with the Pallas fused-resnet path (interpret
+    mode) == the unpacked plain path, same params."""
+    monkeypatch.setenv("ML_MDM_TPU_FUSED", "interpret")
+    from ml_mdm_tpu.models.layers import ResNetConfig
+    from ml_mdm_tpu.models.unet import UNet, UNetConfig
+
+    kw = dict(
+        resolution_channels=[8, 16],
+        num_resnets_per_resolution=[2, 1],
+        attention_levels=[],
+        num_attention_layers=[0, 0],
+        conditioning_feature_dim=16,
+        masked_cross_attention=0,
+        skip_mid_blocks=True,
+        skip_cond_emb=False,
+        resnet_config=ResNetConfig(num_groups_norm=4, dropout=0.0,
+                                   use_attention_ffn=False),
+    )
+    m_plain = UNet(3, 3, UNetConfig(pack_min_side=0, **kw))
+    m_packed = UNet(3, 3, UNetConfig(pack_min_side=8, **kw))
+
+    b, side = 2, 16
+    x = jax.random.normal(jax.random.PRNGKey(0), (b, side, side, 3))
+    t = jnp.asarray([3, 7], jnp.int32)
+    lm = jax.random.normal(jax.random.PRNGKey(1), (b, 4, 16))
+    mask = jnp.ones((b, 4))
+    params = jax.jit(m_plain.init)(
+        jax.random.PRNGKey(2), x, t, lm, mask, {}
+    )["params"]
+
+    ref = m_plain.apply({"params": params}, x, t, lm, mask, {})
+    out = m_packed.apply({"params": params}, x, t, lm, mask, {})
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)

@@ -29,27 +29,41 @@ def _device_line_events(xspace):
                 yield line.name, ev.name, ev.duration_ns
 
 
-_CATEGORY_RULES = (
-    ("conv", ("convolution", "conv_general", "cudnn")),
-    ("matmul", ("dot(", "%dot", "gemm")),
-    ("copy/layout", ("copy(", "copy-start", "copy-done", "transpose(")),
-    ("dynamic-slice", ("dynamic-slice", "dynamic-update-slice")),
-    ("reduce", ("reduce(", "reduce-window")),
-    ("rng", ("rng", "threefry")),
-    ("scatter", ("scatter(",)),
-    ("allreduce/collective", ("all-reduce", "all-gather", "collective")),
-)
+_OPKIND_RE = re.compile(r"=\s*(?:\([^)]*\)|\S+)\s+([a-z][\w\-]*)\(")
+
+
+def _opkind(name: str) -> str:
+    """Extract the HLO op kind ('copy', 'fusion', 'custom-call', ...)
+    from a full instruction string; falls back to the lhs name."""
+    m = _OPKIND_RE.search(name)
+    if m:
+        return m.group(1)
+    return name.split("=")[0].strip().lstrip("%").split(".")[0]
 
 
 def _category(name: str) -> str:
-    low = name.lower()
-    for cat, keys in _CATEGORY_RULES:
-        for k in keys:
-            if k in low:
-                return cat
-    if "fusion" in low:
+    kind = _opkind(name)
+    if kind in ("copy", "copy-start", "copy-done", "transpose",
+                "bitcast-convert"):
+        return "copy/layout"
+    if kind in ("convolution",):
+        return "conv"
+    if kind in ("dot",):
+        return "matmul"
+    if kind in ("custom-call",):
+        return "custom-call(pallas)"
+    if kind in ("dynamic-slice", "dynamic-update-slice", "slice"):
+        return "slice"
+    if kind in ("reduce", "reduce-window"):
+        return "reduce"
+    if kind in ("rng", "rng-bit-generator"):
+        return "rng"
+    if kind in ("all-reduce", "all-gather", "collective-permute",
+                "reduce-scatter"):
+        return "collective"
+    if kind == "fusion":
         return "fusion(elementwise/mixed)"
-    return "other"
+    return f"other({kind})"
 
 
 def profile_fn(thunk, top: int = 30, warmup: bool = True):
@@ -106,6 +120,15 @@ def profile_fn(thunk, top: int = 30, warmup: bool = True):
     for name, dur in agg.most_common(top):
         print(f"{dur/1e6:10.3f} ms  {100.0*dur/max(total,1):5.1f}%"
               f"  {name[:140]}")
+    dump = os.environ.get("PROFILE_OPS_DUMP")
+    if dump:
+        import json
+
+        with open(dump, "w") as f:
+            json.dump(
+                {k: v / 1e6 for k, v in agg.most_common()}, f
+            )
+        print(f"full op aggregation -> {dump}")
     return {k: v / 1e6 for k, v in agg.items()}
 
 
