@@ -20,17 +20,29 @@ from __future__ import annotations
 import json
 import time
 
+
+def _enable_compile_cache():
+    """Persistent XLA compile cache: the 1024px scan programs take
+    minutes to compile; repeat bench runs should skip that."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+
+_enable_compile_cache()
+
 A100_TORCH_EST = 4.36   # samples/sec (see derivation above)
 FLOPS_PER_SAMPLE = 358.5e9 * 50  # fwd GF/image x DDIM steps
 PEAK_TFLOPS = {"TPU v5 lite": 197.0, "TPU v5": 459.0}
 
 
-def train_256(batch: int = 8):
+def train_256(batch: int = 8, remat: bool = True):
     """Secondary benchmark (BASELINE.json: '256px train step/s'): one
     full train step (fwd+bwd+clip+adam+EMA) of the real cc12m_256x256
     nested architecture, remat on, bf16 compute, synthetic batch.
 
-    Run with: python bench.py --train256
+    Run with: python bench.py --train256 [--batch N] [--no-remat]
     """
     import jax
     import jax.numpy as jnp
@@ -51,7 +63,7 @@ def train_256(batch: int = 8):
         jax.random.PRNGKey(0), image_side=256, lm_dim=2048, seq_len=32
     )
     tcfg = trainer.TrainerConfig(
-        lr=5e-5, warmup_steps=10, gradient_clip_norm=2.0, remat=True
+        lr=5e-5, warmup_steps=10, gradient_clip_norm=2.0, remat=remat
     )
     opt, _ = trainer.make_optimizer(tcfg)
     state = trainer.TrainState.create(params, opt)
@@ -81,7 +93,7 @@ def train_256(batch: int = 8):
         json.dumps(
             {
                 "metric": f"256px train step/s (nested_unet, bs{b}, "
-                          "bf16, remat)",
+                          f"bf16, remat={'on' if remat else 'off'})",
                 "value": round(1.0 / dt, 3),
                 "unit": "steps/sec/chip",
                 "images_per_sec": round(b / dt, 2),
@@ -286,7 +298,11 @@ if __name__ == "__main__":
     import sys
 
     if "--train256" in sys.argv:
-        train_256()
+        b = (
+            int(sys.argv[sys.argv.index("--batch") + 1])
+            if "--batch" in sys.argv else 8
+        )
+        train_256(batch=b, remat="--no-remat" not in sys.argv)
     elif "--train1024" in sys.argv:
         train_1024()
     elif "--sample1024" in sys.argv:

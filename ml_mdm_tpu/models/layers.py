@@ -140,8 +140,27 @@ def group_norm_coeffs(x, scale, bias, g, eps: float = 1e-5):
         # the packed 1024px shells. The square runs in bf16 (~2^-9
         # relative noise per element, averaged down by the huge group
         # size); both accumulations stay f32 via the reduction dtype.
-        s1 = jnp.sum(x, axis=spatial, dtype=jnp.float32)  # (B, C)
-        s2 = jnp.sum(jnp.square(x), axis=spatial, dtype=jnp.float32)
+        # On TPU the sums run as a Pallas streaming kernel: XLA's own
+        # fused spatial reduce measured ~7% of HBM peak, ~23% of the
+        # 64px sampling step (ops/gn_stats.py).
+        from ml_mdm_tpu.ops.gn_stats import gn_stats_mode, spatial_sums
+
+        # same large-spatial gate as the fused conv path: at 64px XLA's
+        # native reduce is competitive and Pallas boundaries cost layout
+        # copies; at >=128px sides (packed shells are all-Pallas, plain
+        # layout) the streaming kernel wins
+        big = x.ndim == 4 and min(x.shape[1], x.shape[2]) >= int(
+            os.environ.get("ML_MDM_TPU_FUSED_MIN_SIDE", "128")
+        )
+        mode = gn_stats_mode() if big else None
+        if mode is not None:
+            s1, s2 = spatial_sums(x, mode == "interpret")
+        else:
+            s1 = jnp.sum(x, axis=spatial, dtype=jnp.float32)  # (B, C)
+            s2 = jnp.sum(
+                jnp.square(x.astype(jnp.float32)), axis=spatial,
+                dtype=jnp.float32,
+            )
         mean = s1.reshape(b_, g, cg).sum(-1, keepdims=True) / n  # (B,g,1)
         msq = s2.reshape(b_, g, cg).sum(-1, keepdims=True) / n
         var = jnp.maximum(msq - jnp.square(mean), 0.0)
