@@ -241,6 +241,21 @@ class LayerNormF32(nn.Module):
         return x * a + b
 
 
+def gelu(x):
+    """GELU with dtype-principled lowering (reference nn.GELU,
+    unet.py:319-334 ffn / :425-436 MLP — exact-erf form).
+
+    Under f32 (the CPU/torch-parity path) the exact erf form is kept.
+    Under bf16 the tanh approximation is used: its max absolute error
+    (~3e-4, near |x|=2) is below bf16 rounding (ULP 1.6e-2 at 2.0), so
+    the results are bit-comparable after the bf16 round — while XLA
+    lowers exact erf on TPU into a ~20-op f32 polynomial with bit-packed
+    branch masks, re-evaluated in every consuming fusion (profiled r2:
+    the attention-FFN GELU chains alone were ~7% of the 64px sampling
+    step). tanh is a single native transcendental."""
+    return jax.nn.gelu(x, approximate=x.dtype == jnp.bfloat16)
+
+
 def _maybe_repeat_temb(h: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
     """Repeat per-example time features when the spatial batch was tiled
     (temporal mode packs (b t) into the batch — reference unet.py:229-232)."""
@@ -478,7 +493,7 @@ class SelfAttention(nn.Module):
         x = x + out
         if self.use_attention_ffn:
             y = self.ffn_3(
-                jax.nn.gelu(self.ffn_1(self.ffn_0(x)), approximate=False)
+                gelu(self.ffn_1(self.ffn_0(x)))
             )
             x = x + y
         return x
@@ -552,7 +567,7 @@ class SelfAttention1D(nn.Module):
         x = x + self.proj_out(out)
         if self.use_attention_ffn:
             x = x + self.ffn_3(
-                jax.nn.gelu(self.ffn_1(self.ffn_0(x)), approximate=False)
+                gelu(self.ffn_1(self.ffn_0(x)))
             )
         return x
 
@@ -577,7 +592,7 @@ class MLP(nn.Module):
 
     def __call__(self, x):
         return x + self.main_3(
-            jax.nn.gelu(self.main_1(self.main_0(x)), approximate=False)
+            gelu(self.main_1(self.main_0(x)))
         )
 
 

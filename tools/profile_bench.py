@@ -91,7 +91,7 @@ def sample64(batch=64, steps=10):
     )
 
 
-def train256(batch=8, remat=True):
+def train256(batch=8, remat=os.environ.get("PROFILE_REMAT", "1") == "1"):
     from ml_mdm_tpu import trainer
     from ml_mdm_tpu.config import get_arguments, get_model, get_pipeline
 
