@@ -156,6 +156,12 @@ def group_norm_coeffs(x, scale, bias, g, eps: float = 1e-5):
         if mode is not None:
             s1, s2 = spatial_sums(x, mode == "interpret")
         else:
+            # NOTE: do NOT split these reductions out of the producing
+            # conv's fusion (e.g. with optimization_barrier): A/B on
+            # v5e measured the fused conv+stats epilogue FASTER than
+            # conv + separate stats pass (7.32 vs 7.00 samples/s on the
+            # 64px preset) — the epilogue rides the conv's output
+            # writeback instead of re-reading the activation.
             s1 = jnp.sum(x, axis=spatial, dtype=jnp.float32)  # (B, C)
             s2 = jnp.sum(
                 jnp.square(x.astype(jnp.float32)), axis=spatial,
