@@ -353,30 +353,59 @@ class ResNet(nn.Module):
         min_side = int(os.environ.get("ML_MDM_TPU_FUSED_MIN_SIDE", "128"))
         fused = None
         gn_params = None
+        from ml_mdm_tpu.ops import fused_resnet as fr
+
+        eval_mode = None if train else _fused_resnet_mode()
+        train_mode = (
+            fr.fused_train_mode()
+            if train and self.config.dropout == 0.0 else None
+        )
         if (
-            not train
-            and not self.is_initializing()
+            not self.is_initializing()
             and min(x.shape[1], x.shape[2]) >= min_side
-            and _fused_resnet_mode() is not None
+            and (eval_mode or train_mode) is not None
         ):
             # large-spatial unpacked stages (e.g. the 256px shell) hit
             # the same XLA conv-layout round-trips as the packed ones;
-            # the fused kernel applies unchanged with the raw kernels
+            # the fused kernel applies unchanged with the raw kernels.
+            # Training routes through the custom_vjp wrapper (dropout-0
+            # stages only — the fused path has no dropout site).
             p = self.variables["params"]
+            interp = (eval_mode or train_mode) == "interpret"
 
-            def fused(name, h, a, b, residual, **kw):  # noqa: F811
-                from ml_mdm_tpu.ops import fused_resnet as fr
-
-                return fr.affine_silu_conv3x3(
-                    h,
-                    a.reshape(a.shape[0], a.shape[-1]),
-                    b.reshape(b.shape[0], b.shape[-1]),
-                    p[name]["kernel"],
-                    p[name].get("bias"),
-                    residual,
-                    interpret=_fused_resnet_mode() == "interpret",
-                    **kw,
-                )
+            if eval_mode is not None:
+                def fused(name, h, a, b, residual, **kw):  # noqa: F811
+                    return fr.affine_silu_conv3x3(
+                        h,
+                        a.reshape(a.shape[0], a.shape[-1]),
+                        b.reshape(b.shape[0], b.shape[-1]),
+                        p[name]["kernel"],
+                        p[name].get("bias"),
+                        residual,
+                        interpret=interp,
+                        **kw,
+                    )
+            else:
+                def fused(name, h, a, b, residual,  # noqa: F811
+                          emit_stats=False):
+                    y = fr.affine_silu_conv3x3_vjp(
+                        h,
+                        a.reshape(a.shape[0], a.shape[-1]),
+                        b.reshape(b.shape[0], b.shape[-1]),
+                        p[name]["kernel"],
+                        p[name].get("bias"),
+                        residual,
+                        True,
+                        interp,
+                    )
+                    if not emit_stats:
+                        return y
+                    s1 = jnp.sum(y, axis=(1, 2), dtype=jnp.float32)
+                    s2 = jnp.sum(
+                        jnp.square(y.astype(jnp.float32)), axis=(1, 2),
+                        dtype=jnp.float32,
+                    )
+                    return y, s1, s2
 
             def gn_params(name):  # noqa: F811
                 return p[name]["scale"], p[name]["bias"]

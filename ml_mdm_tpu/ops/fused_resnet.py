@@ -123,7 +123,10 @@ def _kernel(prev_ref, cur_ref, next_ref, a_ref, b_ref, w_ref, bias_ref,
     def _():
         s_ref[th + 1, 1:w_len + 1, :] = act(next_ref[0, 0, :, :])
 
-    # 9 taps as MXU dots; accumulate in registers, one VMEM write
+    # 9 taps as MXU dots; accumulate in registers, one VMEM write.
+    # (A/B note: pre-shifting the three dx column windows into aligned
+    # scratch buffers to avoid sublane-offset reads measured NO change
+    # on v5e — Mosaic already handles the offset slices well.)
     acc = None
     for dy in range(3):
         for dx in range(3):
@@ -226,6 +229,7 @@ def affine_silu_conv3x3(x, a, b, w, bias, residual=None, *,
         with_residual=with_residual, emit_stats=emit_stats,
         halo_rows=halo_rows,
     )
+    scratch_shapes = [pltpu.VMEM((th + 2, w_len + 2, c), x.dtype)]
     # the stats block revisits (constant index over ii): partial sums
     # accumulate in VMEM and flush to HBM once per batch row
     stat_spec = pl.BlockSpec((1, 8, cout), lambda bi, ii: (bi, 0, 0),
@@ -253,9 +257,7 @@ def affine_silu_conv3x3(x, a, b, w, bias, residual=None, *,
             jax.ShapeDtypeStruct((bsz, h, w_len, cout), x.dtype),
             jax.ShapeDtypeStruct((bsz, 8, cout), jnp.float32),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((th + 2, w_len + 2, c), x.dtype),
-        ],
+        scratch_shapes=scratch_shapes,
         cost_estimate=pl.CostEstimate(
             flops=2 * bsz * h * w_len * 9 * c * cout,
             bytes_accessed=(
@@ -278,6 +280,105 @@ def affine_silu_conv3x3(x, a, b, w, bias, residual=None, *,
     if not emit_stats:
         return y
     return y, st[:, 0, :], st[:, 1, :]
+
+
+def fused_train_mode():
+    """Whether the TRAINING path routes ResNet convs through the fused
+    kernel (custom_vjp below). Default: on for TPU (measured +11% on
+    the 256px train step — XLA's thin-channel large-spatial convs run
+    far below roofline there); ML_MDM_TPU_FUSED_TRAIN=0 disables,
+    =interpret forces the pallas interpreter (CPU tests)."""
+    v = os.environ.get("ML_MDM_TPU_FUSED_TRAIN", "auto")
+    if v == "0":
+        return None
+    if v == "interpret":
+        return "interpret"
+    return "tpu" if jax.default_backend() == "tpu" else None
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def affine_silu_conv3x3_vjp(x, a, b, w, bias, residual,
+                            apply_silu=True, interpret=False):
+    """Differentiable wrapper of the fused kernel for training paths.
+
+    Forward = affine_silu_conv3x3 (Pallas). Backward: the data gradient
+    is itself a 3x3 stride-1 conv (flipped, channel-transposed kernel),
+    so it reuses the same Pallas kernel; the weight gradient uses XLA's
+    conv-grad; affine/bias gradients are spatial reductions. The silu
+    input is recomputed from x (cheap elementwise) — no activation
+    stash beyond the primals.
+    """
+    return affine_silu_conv3x3(
+        x, a, b, w, bias, residual,
+        apply_silu=apply_silu, interpret=interpret,
+    )
+
+
+def _vjp_fwd(x, a, b, w, bias, residual, apply_silu, interpret):
+    y = affine_silu_conv3x3(
+        x, a, b, w, bias, residual,
+        apply_silu=apply_silu, interpret=interpret,
+    )
+    return y, (x, a, b, w, residual is not None)
+
+
+def _vjp_bwd(apply_silu, interpret, saved, dy):
+    x, a, b, w, has_res = saved
+    f32 = jnp.float32
+    # A/B note (v5e, train256): computing this chain in bf16 measured
+    # SLOWER than f32 (5.28 vs 5.52 steps/s) — XLA fuses the f32 chain
+    # into the consuming reductions better than it handles the extra
+    # converts the bf16 version adds at the Pallas boundaries.
+    cd = jnp.float32
+    a_c = a.astype(cd)[:, None, None, :]
+    b_c = b.astype(cd)[:, None, None, :]
+    v = x.astype(cd) * a_c + b_c
+    if apply_silu:
+        sig = jax.nn.sigmoid(v)
+        s_store = v * sig
+        dact = sig * (1.0 + v * (1.0 - sig))
+    else:
+        s_store = v
+        dact = None
+
+    # data gradient: conv3x3 of dy with the flipped, channel-transposed
+    # kernel — same Pallas kernel as the forward
+    wT = jnp.flip(w, axis=(0, 1)).swapaxes(2, 3)
+    if interpret or fused_mode() is not None:
+        ds = affine_silu_conv3x3(
+            dy,
+            jnp.ones((dy.shape[0], dy.shape[-1]), f32),
+            jnp.zeros((dy.shape[0], dy.shape[-1]), f32),
+            wT, jnp.zeros((w.shape[2],), f32), None,
+            apply_silu=False, interpret=interpret,
+        )
+    else:
+        ds = jax.lax.conv_general_dilated(
+            dy, wT.astype(dy.dtype), (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+    dv = ds.astype(cd) * dact if dact is not None else ds.astype(cd)
+    dx = (dv * a_c).astype(x.dtype)
+    da = jnp.sum(dv * x.astype(cd), axis=(1, 2), dtype=f32).astype(a.dtype)
+    db = jnp.sum(dv, axis=(1, 2), dtype=f32).astype(b.dtype)
+    dbias = jnp.sum(dy, axis=(0, 1, 2), dtype=f32)
+
+    # weight gradient via XLA's conv-grad (correlation of the stored
+    # activation with dy); runs in the primal dtype — the MXU still
+    # accumulates in f32 internally
+    _, pull = jax.vjp(
+        lambda w_: jax.lax.conv_general_dilated(
+            s_store.astype(x.dtype), w_, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ),
+        w.astype(x.dtype),
+    )
+    (dw,) = pull(dy.astype(x.dtype))
+    dres = dy if has_res else None
+    return dx, da, db, dw.astype(w.dtype), dbias.astype(f32), dres
+
+
+affine_silu_conv3x3_vjp.defvjp(_vjp_fwd, _vjp_bwd)
 
 
 def reference_affine_silu_conv3x3(x, a, b, w, bias, residual=None,
