@@ -37,12 +37,14 @@ FLOPS_PER_SAMPLE = 358.5e9 * 50  # fwd GF/image x DDIM steps
 PEAK_TFLOPS = {"TPU v5 lite": 197.0, "TPU v5": 459.0}
 
 
-def train_256(batch: int = 8, remat: bool = True):
+def train_256(batch: int = 16, remat: bool = False):
     """Secondary benchmark (BASELINE.json: '256px train step/s'): one
     full train step (fwd+bwd+clip+adam+EMA) of the real cc12m_256x256
-    nested architecture, remat on, bf16 compute, synthetic batch.
+    nested architecture, bf16 compute, synthetic batch. Default preset
+    is the measured v5e sweet spot: bs16, no remat (bs8-20 fit without
+    remat; bs24 OOMs; bs20 measured slightly slower than 16).
 
-    Run with: python bench.py --train256 [--batch N] [--no-remat]
+    Run with: python bench.py --train256 [--batch N] [--remat|--no-remat]
     """
     import jax
     import jax.numpy as jnp
@@ -300,9 +302,9 @@ if __name__ == "__main__":
     if "--train256" in sys.argv:
         b = (
             int(sys.argv[sys.argv.index("--batch") + 1])
-            if "--batch" in sys.argv else 8
+            if "--batch" in sys.argv else 16
         )
-        train_256(batch=b, remat="--no-remat" not in sys.argv)
+        train_256(batch=b, remat="--remat" in sys.argv)
     elif "--train1024" in sys.argv:
         train_1024()
     elif "--sample1024" in sys.argv:

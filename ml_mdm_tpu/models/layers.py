@@ -323,20 +323,52 @@ class ResNet(nn.Module):
 
             fused = None
             gn_params = None
-            if not train and _fused_resnet_mode() is not None:
-                from ml_mdm_tpu.ops import fused_resnet as fr
+            from ml_mdm_tpu.ops import fused_resnet as fr
 
-                def fused(name, h, a, b, residual, **kw):  # noqa: F811
-                    return fr.affine_silu_conv3x3(
-                        h,
-                        a.reshape(a.shape[0], a.shape[-1]),
-                        b.reshape(b.shape[0], b.shape[-1]),
-                        s2d.pack_conv3x3_kernel(p[name]["kernel"]),
-                        rep(p[name].get("bias")),
-                        residual,
-                        interpret=_fused_resnet_mode() == "interpret",
-                        **kw,
-                    )
+            p_eval_mode = None if train else _fused_resnet_mode()
+            p_train_mode = (
+                fr.fused_train_mode()
+                if train and self.config.dropout == 0.0 else None
+            )
+            if (p_eval_mode or p_train_mode) is not None:
+                p_interp = (p_eval_mode or p_train_mode) == "interpret"
+
+                if p_eval_mode is not None:
+                    def fused(name, h, a, b, residual, **kw):  # noqa: F811
+                        return fr.affine_silu_conv3x3(
+                            h,
+                            a.reshape(a.shape[0], a.shape[-1]),
+                            b.reshape(b.shape[0], b.shape[-1]),
+                            s2d.pack_conv3x3_kernel(p[name]["kernel"]),
+                            rep(p[name].get("bias")),
+                            residual,
+                            interpret=p_interp,
+                            **kw,
+                        )
+                else:
+                    # training: custom_vjp wrapper; gradients flow
+                    # through pack_conv3x3_kernel/pack_channel_vector
+                    # (plain jnp transforms outside the custom_vjp)
+                    def fused(name, h, a, b, residual,  # noqa: F811
+                              emit_stats=False):
+                        y = fr.affine_silu_conv3x3_vjp(
+                            h,
+                            a.reshape(a.shape[0], a.shape[-1]),
+                            b.reshape(b.shape[0], b.shape[-1]),
+                            s2d.pack_conv3x3_kernel(p[name]["kernel"]),
+                            rep(p[name].get("bias")),
+                            residual,
+                            True,
+                            p_interp,
+                        )
+                        if not emit_stats:
+                            return y
+                        s1 = jnp.sum(y, axis=(1, 2), dtype=jnp.float32)
+                        s2 = jnp.sum(
+                            jnp.square(y.astype(jnp.float32)),
+                            axis=(1, 2), dtype=jnp.float32,
+                        )
+                        return y, s1, s2
 
                 def gn_params(name):  # noqa: F811
                     return rep(p[name]["scale"]), rep(p[name]["bias"])

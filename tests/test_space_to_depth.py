@@ -365,3 +365,51 @@ def test_fused_resnet_train_grads_match_plain(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(v), np.asarray(flat_p[jax.tree_util.keystr(k)]),
             rtol=2e-4, atol=2e-4, err_msg=jax.tree_util.keystr(k))
+
+
+def test_fused_resnet_train_grads_match_plain_packed(monkeypatch):
+    """Packed stage with the fused custom_vjp training path (interpret)
+    == unpacked plain path: same loss, same parameter grads."""
+    monkeypatch.setenv("ML_MDM_TPU_FUSED", "0")
+    monkeypatch.setenv("ML_MDM_TPU_FUSED_TRAIN", "interpret")
+    from ml_mdm_tpu.models.layers import ResNetConfig
+    from ml_mdm_tpu.models.unet import UNet, UNetConfig
+
+    kw = dict(
+        resolution_channels=[8, 16],
+        num_resnets_per_resolution=[2, 1],
+        attention_levels=[],
+        num_attention_layers=[0, 0],
+        conditioning_feature_dim=16,
+        masked_cross_attention=0,
+        skip_mid_blocks=True,
+        skip_cond_emb=False,
+        resnet_config=ResNetConfig(num_groups_norm=4, dropout=0.0,
+                                   use_attention_ffn=False),
+    )
+    m_plain = UNet(3, 3, UNetConfig(pack_min_side=0, **kw))
+    m_packed = UNet(3, 3, UNetConfig(pack_min_side=8, **kw))
+
+    b, side = 2, 16
+    x = jax.random.normal(jax.random.PRNGKey(0), (b, side, side, 3))
+    t = jnp.asarray([3, 7], jnp.int32)
+    lm = jax.random.normal(jax.random.PRNGKey(1), (b, 4, 16))
+    mask = jnp.ones((b, 4))
+    params = jax.jit(m_plain.init)(
+        jax.random.PRNGKey(2), x, t, lm, mask, {}
+    )["params"]
+
+    def loss(m, p):
+        y = m.apply({"params": p}, x, t, lm, mask, {}, train=True,
+                    rngs={"dropout": jax.random.PRNGKey(5)})
+        return jnp.sum(jnp.square(y)).astype(jnp.float32)
+
+    l_pk, g_pk = jax.value_and_grad(lambda p: loss(m_packed, p))(params)
+    l_pl, g_pl = jax.value_and_grad(lambda p: loss(m_plain, p))(params)
+    np.testing.assert_allclose(float(l_pk), float(l_pl), rtol=1e-5)
+    flat_pl = {jax.tree_util.keystr(k): v
+               for k, v in jax.tree_util.tree_leaves_with_path(g_pl)}
+    for k, v in jax.tree_util.tree_leaves_with_path(g_pk):
+        np.testing.assert_allclose(
+            np.asarray(v), np.asarray(flat_pl[jax.tree_util.keystr(k)]),
+            rtol=3e-4, atol=3e-4, err_msg=jax.tree_util.keystr(k))
