@@ -49,39 +49,52 @@ def _pack_index(c: int, di: int, dj: int) -> int:
     return c * 4 + di * 2 + dj
 
 
+def _tap_pick(kernel: jnp.ndarray, pad: int):
+    """Returns pick(dy, dx) -> (Cin, Cout) tap of the zero-padded
+    kernel — a STATIC slice. All kernel-transform builders below use
+    static picks + stack + transpose only: the previous .at[].set
+    formulation lowered to sort-based scatters which XLA re-ran per
+    conv call (profiled ~10% of the 1024px forward)."""
+    kpad = jnp.pad(kernel, ((pad, pad), (pad, pad), (0, 0), (0, 0)))
+
+    def pick(dy: int, dx: int):
+        return kpad[dy + 1 + pad, dx + 1 + pad]
+
+    return pick
+
+
 def pack_conv3x3_kernel(kernel: jnp.ndarray) -> jnp.ndarray:
     """(3,3,Cin,Cout) HWIO -> (3,3,4Cin,4Cout) packed equivalent."""
     _, _, cin, cout = kernel.shape
-    out = jnp.zeros((3, 3, 4 * cin, 4 * cout), kernel.dtype)
+    pick = _tap_pick(kernel, 2)
+    rows = []
     for ky in (-1, 0, 1):
+        cols = []
         for kx in (-1, 0, 1):
+            sub = []
             for ei in (0, 1):
                 for ej in (0, 1):
                     for di in (0, 1):
                         for dj in (0, 1):
-                            dy = 2 * ky + ei - di
-                            dx = 2 * kx + ej - dj
-                            if dy < -1 or dy > 1 or dx < -1 or dx > 1:
-                                continue
-                            src = kernel[dy + 1, dx + 1]  # (Cin, Cout)
-                            rows = jnp.arange(cin) * 4 + (ei * 2 + ej)
-                            cols = jnp.arange(cout) * 4 + (di * 2 + dj)
-                            out = out.at[
-                                ky + 1, kx + 1, rows[:, None], cols[None, :]
-                            ].set(src)
-    return out
+                            sub.append(
+                                pick(2 * ky + ei - di, 2 * kx + ej - dj)
+                            )
+            cols.append(jnp.stack(sub))  # (16, Cin, Cout)
+        rows.append(jnp.stack(cols))
+    t = jnp.stack(rows).reshape(3, 3, 2, 2, 2, 2, cin, cout)
+    # -> (ky, kx, cin, ei, ej, cout, di, dj): row = cin*4 + ei*2+ej,
+    # col = cout*4 + di*2+dj
+    t = t.transpose(0, 1, 6, 2, 3, 7, 4, 5)
+    return t.reshape(3, 3, 4 * cin, 4 * cout)
 
 
 def pack_conv1x1_kernel(kernel: jnp.ndarray) -> jnp.ndarray:
     """(1,1,Cin,Cout) -> (1,1,4Cin,4Cout): block-diagonal per
     sub-position (a 1x1 conv never crosses pixels)."""
     _, _, cin, cout = kernel.shape
-    out = jnp.zeros((1, 1, 4 * cin, 4 * cout), kernel.dtype)
-    for dd in range(4):
-        rows = jnp.arange(cin) * 4 + dd
-        cols = jnp.arange(cout) * 4 + dd
-        out = out.at[0, 0, rows[:, None], cols[None, :]].set(kernel[0, 0])
-    return out
+    eye = jnp.eye(4, dtype=kernel.dtype)
+    out = jnp.einsum("io,ab->iaob", kernel[0, 0], eye)
+    return out.reshape(1, 1, 4 * cin, 4 * cout)
 
 
 def pack_channel_vector(v: jnp.ndarray) -> jnp.ndarray:
@@ -127,20 +140,20 @@ def pack_strided_conv_kernel(kernel: jnp.ndarray) -> jnp.ndarray:
     source pixel sits in packed cell (i+ky, j+kx) sub-position (ei,ej)
     with dy = 2*ky + ei, so only ky,kx in {-1,0} contribute."""
     _, _, cin, cout = kernel.shape
-    out = jnp.zeros((2, 2, 4 * cin, cout), kernel.dtype)
+    pick = _tap_pick(kernel, 2)
+    rows = []
     for ky in (-1, 0):
+        cols = []
         for kx in (-1, 0):
+            sub = []
             for ei in (0, 1):
                 for ej in (0, 1):
-                    dy = 2 * ky + ei
-                    dx = 2 * kx + ej
-                    if dy < -1 or dy > 1 or dx < -1 or dx > 1:
-                        continue
-                    rows = jnp.arange(cin) * 4 + (ei * 2 + ej)
-                    out = out.at[ky + 1, kx + 1, rows, :].set(
-                        kernel[dy + 1, dx + 1]
-                    )
-    return out
+                    sub.append(pick(2 * ky + ei, 2 * kx + ej))
+            cols.append(jnp.stack(sub))  # (4, Cin, Cout)
+        rows.append(jnp.stack(cols))
+    t = jnp.stack(rows).reshape(2, 2, 2, 2, cin, cout)
+    t = t.transpose(0, 1, 4, 2, 3, 5)  # row = cin*4 + ei*2+ej
+    return t.reshape(2, 2, 4 * cin, cout)
 
 
 def packed_strided_conv(x_packed, kernel, bias=None):
@@ -185,23 +198,23 @@ def pack_strided_conv_kernel_p2p(kernel: jnp.ndarray) -> jnp.ndarray:
     dy = 2(ky-di)+ei. For |dy|<=1 that gives ky in {-1,0,1}: a 3x3
     stride-2 conv over packed cells."""
     _, _, cin, cout = kernel.shape
-    out = jnp.zeros((3, 3, 4 * cin, 4 * cout), kernel.dtype)
+    pick = _tap_pick(kernel, 4)
+    rows = []
     for ky in (-1, 0, 1):
+        cols = []
         for kx in (-1, 0, 1):
+            sub = []
             for ei in (0, 1):
                 for ej in (0, 1):
                     for di in (0, 1):
                         for dj in (0, 1):
-                            dy = 2 * (ky - di) + ei
-                            dx = 2 * (kx - dj) + ej
-                            if dy < -1 or dy > 1 or dx < -1 or dx > 1:
-                                continue
-                            rows = jnp.arange(cin) * 4 + (ei * 2 + ej)
-                            cols = jnp.arange(cout) * 4 + (di * 2 + dj)
-                            out = out.at[
-                                ky + 1, kx + 1, rows[:, None], cols[None, :]
-                            ].set(kernel[dy + 1, dx + 1])
-    return out
+                            sub.append(pick(2 * (ky - di) + ei,
+                                            2 * (kx - dj) + ej))
+            cols.append(jnp.stack(sub))  # (16, Cin, Cout)
+        rows.append(jnp.stack(cols))
+    t = jnp.stack(rows).reshape(3, 3, 2, 2, 2, 2, cin, cout)
+    t = t.transpose(0, 1, 6, 2, 3, 7, 4, 5)
+    return t.reshape(3, 3, 4 * cin, 4 * cout)
 
 
 def packed_strided_conv_p2p(x_packed, kernel, bias=None):

@@ -65,6 +65,41 @@ def fwd1024(batch=4):
     )
 
 
+def sample1024(batch=4, steps=25):
+    """Profile ONE chunk of the chunked 1024px sampler — the real
+    program the bench runs (per-forward profiling misses loop-invariant
+    hoisting inside the scan)."""
+    from ml_mdm_tpu.config import get_arguments, get_model, get_pipeline
+
+    args = get_arguments(
+        args=["--config_path", "configs/models/cc12m_1024x1024.yaml"],
+        mode="sampler",
+    )
+    args.unet_config.conditioning_feature_dim = 2048
+    module = get_model(args.model)(3, 3, args.unet_config, dtype=jnp.bfloat16)
+    pipeline = get_pipeline(args.model)(module, args.diffusion_config)
+    params = _bf16(pipeline.init_params(
+        jax.random.PRNGKey(0), image_side=1024, lm_dim=2048, seq_len=32
+    ))
+    lm = jax.random.normal(jax.random.PRNGKey(1), (batch, 32, 2048),
+                           jnp.bfloat16)
+    mask = jnp.ones((batch, 32), jnp.bfloat16)
+    s = {"lm_outputs": lm, "lm_mask": mask}
+
+    def run(p, k):
+        return pipeline.sample_chunked(
+            p, batch, s, 1024, k,
+            num_inference_steps=steps, resample_steps=True, ddim_eta=1.0,
+            chunk_steps=steps,
+        )
+
+    jax.block_until_ready(run(params, jax.random.PRNGKey(2)))
+    profile_fn(
+        lambda: jax.block_until_ready(run(params, jax.random.PRNGKey(3))),
+        top=45,
+    )
+
+
 def sample64(batch=64, steps=10):
     from __graft_entry__ import _flagship_64px
 
@@ -137,4 +172,5 @@ def train256(batch=8, remat=os.environ.get("PROFILE_REMAT", "1") == "1"):
 
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "fwd1024"
-    {"fwd1024": fwd1024, "sample64": sample64, "train256": train256}[mode]()
+    {"fwd1024": fwd1024, "sample64": sample64, "train256": train256,
+     "sample1024": sample1024}[mode]()
