@@ -207,7 +207,7 @@ def sample_1024(batch: int = 4, steps: int = 250):
         return pipeline.sample_chunked(
             params, batch, s, 1024, k,
             num_inference_steps=steps, resample_steps=True, ddim_eta=1.0,
-            chunk_steps=25,
+            chunk_steps=25, noise_dtype=jnp.bfloat16,
         )
 
     out = run(jax.random.PRNGKey(2))

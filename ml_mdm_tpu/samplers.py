@@ -297,17 +297,25 @@ class Sampler:
         self, x_t, pred, g, prediction_type=None, clip_fn=None, return_eps=True
     ):
         pt = prediction_type or self.config.prediction_type
+        # coefficients computed in f32 (gammas are f32), applied in the
+        # carry dtype: keeps a bf16 sampling carry bf16 through the
+        # whole step instead of promoting every elementwise pass to f32
+        # (at 1024² those passes are pure HBM traffic). f32 carries are
+        # bit-identical to before.
+        cd = x_t.dtype
+        sqg = jnp.sqrt(g).astype(cd)
+        sq1mg = jnp.sqrt(1.0 - g).astype(cd)
         if pt in (PredictionType.DDPM, PredictionType.DDIM):
-            x0 = (x_t - pred * jnp.sqrt(1.0 - g)) / jnp.sqrt(g)
+            x0 = (x_t - pred.astype(cd) * sq1mg) / sqg
         elif pt == PredictionType.V_PREDICTION:
-            x0 = x_t * jnp.sqrt(g) - pred * jnp.sqrt(1.0 - g)
+            x0 = x_t * sqg - pred.astype(cd) * sq1mg
         else:
             raise ValueError(f"Unsupported prediction type {pt}")
         if clip_fn is not None:
             x0 = clip_fn(x0)
         if not return_eps:
             return x0
-        eps = (x_t - x0 * jnp.sqrt(g)) / jnp.sqrt(1.0 - g)
+        eps = (x_t - x0 * sqg) / sq1mg
         return x0, eps
 
     def get_pred_from_x0_xt(self, x_t, x0, g, prediction_type=None):
@@ -363,6 +371,9 @@ class Sampler:
         posterior mean form; 0 => deterministic DDIM; >0 => stochastic DDIM).
         """
         pt = prediction_type or self.config.prediction_type
+        # all per-level coefficients in f32, applied in the carry dtype
+        # (see get_x0_eps_from_pred)
+        cd = x_t.dtype
         alpha = g / g_last
         beta = 1.0 - alpha
         beta_tilde = beta * (1.0 - g_last) / (1.0 - g)
@@ -374,30 +385,39 @@ class Sampler:
             x0 = jnp.clip(x0, -scale, scale) / scale
         else:
             x0 = clip_fn(x0, scale)
+        x0 = x0.astype(cd)
+
+        def c(v):
+            return jnp.asarray(v).astype(cd)
 
         if ddim_eta is None:
-            x_t_last = x0 * beta * jnp.sqrt(g_last) / (1.0 - g) + x_t * jnp.sqrt(
-                alpha
-            ) * (1.0 - g_last) / (1.0 - g)
+            x_t_last = (
+                x0 * c(beta * jnp.sqrt(g_last) / (1.0 - g))
+                + x_t * c(jnp.sqrt(alpha) * (1.0 - g_last) / (1.0 - g))
+            )
         else:
-            eps = (x_t - x0 * jnp.sqrt(g)) / jnp.sqrt(1.0 - g)
+            eps = (x_t - x0 * c(jnp.sqrt(g))) / c(jnp.sqrt(1.0 - g))
             if ddim_eta > 0:
                 beta_tilde = (ddim_eta**2) * beta_tilde
-                x_t_last = x0 * jnp.sqrt(g_last) + eps * jnp.sqrt(
+                x_t_last = x0 * c(jnp.sqrt(g_last)) + eps * c(jnp.sqrt(
                     jnp.maximum(1.0 - g_last - beta_tilde, 0.0)
-                )
+                ))
             else:
                 need_noise = False
-                x_t_last = x0 * jnp.sqrt(g_last) + eps * jnp.sqrt(1.0 - g_last)
+                x_t_last = x0 * c(jnp.sqrt(g_last)) + eps * c(
+                    jnp.sqrt(1.0 - g_last)
+                )
 
         if need_noise is not False and input_noise is not None:
             mask = jnp.asarray(need_noise, dtype=x_t_last.dtype)
             # broadcast scalar/per-batch mask against NHWC
             while mask.ndim < x_t_last.ndim:
                 mask = mask[..., None]
-            x_t_last = x_t_last + mask * jnp.sqrt(beta_tilde) * input_noise
+            x_t_last = x_t_last + mask * c(jnp.sqrt(beta_tilde)) * input_noise
 
-        eps_out = (x_t_last - jnp.sqrt(g_last) * x0) / jnp.sqrt(1.0 - g_last)
+        eps_out = (x_t_last - c(jnp.sqrt(g_last)) * x0) / c(
+            jnp.sqrt(1.0 - g_last)
+        )
         return x0, x_t_last, eps_out
 
     # -- CFG model wrapper ---------------------------------------------------
