@@ -108,3 +108,29 @@ def test_dryrun_multichip_clean_subprocess():
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "dryrun_multichip(8) ok" in proc.stdout
+
+
+def test_data_parallel_sampling_matches_single_device():
+    """sample_data_parallel over the 8-device CPU mesh == unsharded
+    pipeline.sample with the same key (reference scales sampling by
+    DDP in generate_batch.py:104-107; here the fan-out is one jit over
+    the mesh)."""
+    from ml_mdm_tpu import parallel
+    from tests.test_pipeline_features import _tiny_pipe
+
+    pipe, params, sample2 = _tiny_pipe()
+    # widen to batch 8 so the 8-device data axis divides it
+    sample = {
+        "lm_outputs": jnp.tile(sample2["lm_outputs"], (4, 1, 1)),
+        "lm_mask": jnp.tile(sample2["lm_mask"], (4, 1)),
+    }
+    key = jax.random.PRNGKey(7)
+    ref = pipe.sample(params, 8, sample, 16, key,
+                      num_inference_steps=4, resample_steps=True,
+                      ddim_eta=0.0)
+    out = parallel.sample_data_parallel(
+        pipe, params, 8, sample, 16, key,
+        num_inference_steps=4, resample_steps=True, ddim_eta=0.0,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
