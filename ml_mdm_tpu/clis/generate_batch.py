@@ -187,14 +187,31 @@ def main(args, negative_prompt=None, guidance_scale=1.0, ddim_eta=None,
 
             return g
         if b not in jit_cache:
-            def f(p, lm, mask, k):
-                s = {"lm_outputs": lm, "lm_mask": mask}
-                return pipeline.sample(
-                    p, b, s, image_side, k,
+            n_dev = len(jax.devices())
+            if n_dev > 1 and b % n_dev == 0:
+                # local multi-device fan-out: batch sharded over the
+                # data mesh, params replicated (parallel/mesh.py)
+                from ml_mdm_tpu import parallel
+
+                run = parallel.make_data_parallel_sampler(
+                    pipeline, b, image_side,
                     guidance_scale=guidance_scale, **sample_kwargs,
                 )
 
-            jit_cache[b] = jax.jit(f)
+                def f(p, lm, mask, k, _run=run):
+                    s = {"lm_outputs": lm, "lm_mask": mask}
+                    return _run(p, s, k)
+
+                jit_cache[b] = f
+            else:
+                def f(p, lm, mask, k):
+                    s = {"lm_outputs": lm, "lm_mask": mask}
+                    return pipeline.sample(
+                        p, b, s, image_side, k,
+                        guidance_scale=guidance_scale, **sample_kwargs,
+                    )
+
+                jit_cache[b] = jax.jit(f)
         return jit_cache[b]
 
     out_idx = 0

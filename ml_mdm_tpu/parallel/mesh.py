@@ -97,14 +97,14 @@ def infer_param_sharding(
     return jax.tree_util.tree_map(spec_for, params)
 
 
-def sample_data_parallel(pipeline, params, batch: int, sample,
-                         image_side: int, key, mesh: Optional[Mesh] = None,
-                         **kwargs):
-    """Data-parallel sampling: one jitted denoise scan with the batch
-    (noise, conditioning, outputs) sharded over the mesh's ``data``
-    axis and parameters replicated — the serving-scale fan-out path.
-    Numerically identical to single-device sampling with the same key
-    (no cross-example reductions exist in the sampler).
+def make_data_parallel_sampler(pipeline, batch: int, image_side: int,
+                               mesh: Optional[Mesh] = None, **kwargs):
+    """Returns run(params, sample, key) -> images: one jitted denoise
+    scan with the batch (noise, conditioning, outputs) sharded over the
+    mesh's ``data`` axis and parameters replicated — the serving-scale
+    fan-out path. The jit is cached on the returned closure; call it
+    per request. Numerically identical to single-device sampling with
+    the same key (no cross-example reductions exist in the sampler).
 
     ``sample`` rows (lm_outputs/lm_mask) may be 2x batch for CFG; any
     leading dim divisible by the data axis shards cleanly.
@@ -112,19 +112,27 @@ def sample_data_parallel(pipeline, params, batch: int, sample,
     if mesh is None:
         mesh = create_data_mesh_for_batch(batch)
     rep = replicated(mesh)
-    bsh = batch_sharding(mesh)
-    params = jax.device_put(params, rep)
-    sample = shard_batch(sample, mesh)
 
-    fn = jax.jit(
+    jfn = jax.jit(
         lambda p, s, k: pipeline.sample(
             p, batch, s, image_side, k, **kwargs
         ),
-        in_shardings=(
-            rep,
-            jax.tree_util.tree_map(lambda _: bsh, sample),
-            rep,
-        ),
-        out_shardings=bsh,
     )
-    return fn(params, sample, key)
+
+    def run(params, sample, key):
+        # sharding propagates from the committed inputs
+        params = jax.device_put(params, rep)
+        sample = shard_batch(sample, mesh)
+        return jfn(params, sample, key)
+
+    return run
+
+
+def sample_data_parallel(pipeline, params, batch: int, sample,
+                         image_side: int, key, mesh: Optional[Mesh] = None,
+                         **kwargs):
+    """One-shot convenience wrapper over make_data_parallel_sampler."""
+    run = make_data_parallel_sampler(
+        pipeline, batch, image_side, mesh=mesh, **kwargs
+    )
+    return run(params, sample, key)
