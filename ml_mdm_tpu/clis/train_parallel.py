@@ -71,6 +71,19 @@ def main(args):
     )
     input_channels = 3
 
+    if jax.process_count() > 1 and not args.reader_config.pad_to_max_length:
+        # every process contributes rows of ONE global array: token
+        # shapes must agree across processes (and static shapes avoid
+        # per-length recompiles of the train step)
+        assert args.reader_config.max_token_length != -1, (
+            "multi-process training needs a static max_token_length"
+        )
+        args.reader_config.pad_to_max_length = True
+        logging.info(
+            "multi-process run: forcing reader pad_to_max_length so all "
+            "processes produce identically-shaped batches"
+        )
+
     tokenizer, language_model = factory.create_lm(args)
     lm_dim = language_model.embed_dim
 
@@ -175,15 +188,23 @@ def main(args):
             )
         logging.info(f"Exact resume from {resume_dir} @ {start_batch_num}")
 
-    from ml_mdm_tpu.parallel.mesh import create_data_mesh_for_batch
+    from ml_mdm_tpu.parallel.mesh import (
+        create_data_mesh_for_batch,
+        put_global_batch,
+    )
 
+    # batch_size is PER PROCESS (reference: per-rank, torchrun DDP); the
+    # mesh and the jitted step see the global batch
+    global_batch_size = (
+        args.batch_size
+        * args.num_gradient_accumulations
+        * jax.process_count()
+    )
     mesh = create_data_mesh_for_batch(
-        args.batch_size * args.num_gradient_accumulations,
-        getattr(args, "mesh_shape", None),
+        global_batch_size, getattr(args, "mesh_shape", None)
     )
     logging.info(f"mesh: {dict(mesh.shape)}")
     rep = replicated(mesh)
-    bsh = batch_sharding(mesh)
     state = jax.device_put(state, rep)
 
     train_step = trainer.make_train_step(
@@ -264,7 +285,7 @@ def main(args):
         if "images" not in sample:
             continue
         batch = _device_batch(sample, pipeline)
-        batch = jax.device_put(batch, bsh)
+        batch = put_global_batch(batch, mesh)
 
         start_time = time.time()
         key, k_step = jax.random.split(key)
@@ -282,15 +303,15 @@ def main(args):
             # saving needs this step's stats: drain the pipeline
             consume(pending)
             pending = None
+            other = {
+                "batch_num": batch_num,
+                "loss": last_loss,
+                "best_avg_loss": tracker.best_avg_loss,
+                "exp_avg_loss": tracker.exp_avg_loss,
+                "exp_avg_loss_var": tracker.exp_avg_loss_var,
+            }
+            out = args.output_dir or "."
             if global_rank == 0:
-                other = {
-                    "batch_num": batch_num,
-                    "loss": last_loss,
-                    "best_avg_loss": tracker.best_avg_loss,
-                    "exp_avg_loss": tracker.exp_avg_loss,
-                    "exp_avg_loss_var": tracker.exp_avg_loss_var,
-                }
-                out = args.output_dir or "."
                 logging.info(f"Saving model. Batch = {batch_num}")
                 ckpt.save_vision_model(
                     os.path.join(out, f"vis_model_{batch_num:06d}.pth"),
@@ -304,11 +325,15 @@ def main(args):
                     jax.device_get(state.params),
                     other_items=other,
                 )
-                ckpt.save_train_state(
-                    os.path.join(out, f"train_state_{batch_num:06d}"),
-                    jax.device_get(state),
-                    other_items=other,
-                )
+            # Orbax coordinates across processes internally (its save
+            # does a sync_global_processes): EVERY process must enter
+            # the save, and Orbax's primary host does the writing.
+            ckpt.save_train_state(
+                os.path.join(out, f"train_state_{batch_num:06d}"),
+                jax.device_get(state),
+                other_items=other,
+                write_meta=global_rank == 0,
+            )
             barrier("save")
 
         if batch_num >= args.num_training_steps:

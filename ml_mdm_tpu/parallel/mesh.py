@@ -42,12 +42,21 @@ def create_mesh(spec: Optional[str] = None, devices=None) -> Mesh:
 
 def create_data_mesh_for_batch(batch_size: int, spec: Optional[str] = None,
                                devices=None) -> Mesh:
-    """Mesh whose data axis divides ``batch_size``: uses the largest
-    divisor of batch_size <= device count when no explicit spec given."""
+    """Mesh whose data axis divides ``batch_size`` (the GLOBAL batch):
+    uses the largest divisor of batch_size <= device count when no
+    explicit spec given. In a multi-process (multi-host) run every
+    process must drive the same device set, so the mesh always spans all
+    devices there — the global batch must divide the device count."""
     if spec:
         return create_mesh(spec, devices)
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
+    if jax.process_count() > 1:
+        assert batch_size % n == 0, (
+            f"multi-process run: global batch {batch_size} must divide "
+            f"the {n}-device mesh (every process drives all devices)"
+        )
+        return Mesh(np.asarray(devices), axis_names=("data",))
     while n > 1 and batch_size % n != 0:
         n -= 1
     return Mesh(np.asarray(devices[:n]), axis_names=("data",))
@@ -68,6 +77,25 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sh) if hasattr(x, "shape") and x.ndim > 0
         else x,
+        batch,
+    )
+
+
+def put_global_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """Assemble the GLOBAL data-sharded batch from per-process local
+    arrays. In a single-process run this is plain sharded device_put; in
+    a multi-process run each process contributes its own reader
+    partition's rows and the global array concatenates them in process
+    order (process p's rows land on p's mesh devices) — the torchrun-DDP
+    "per-rank batch" contract (reference train_parallel.py:171-178),
+    expressed as one global jit argument instead of an NCCL all-reduce.
+    """
+    if jax.process_count() == 1:
+        return shard_batch(batch, mesh)
+    sh = batch_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x))
+        if hasattr(x, "shape") and x.ndim > 0 else x,
         batch,
     )
 

@@ -185,8 +185,13 @@ def _jsonable(d):
     return out
 
 
-def save_train_state(path: str, state, other_items=None):
-    """Full training state (params+ema+opt) via Orbax for exact resume."""
+def save_train_state(path: str, state, other_items=None,
+                     write_meta: bool = True):
+    """Full training state (params+ema+opt) via Orbax for exact resume.
+
+    In a multi-process run every process must call this (Orbax's save
+    syncs all processes internally); pass ``write_meta`` False on
+    non-primary ranks so the JSON sidecar is written once."""
     import orbax.checkpoint as ocp
 
     ckptr = ocp.PyTreeCheckpointer()
@@ -200,7 +205,7 @@ def save_train_state(path: str, state, other_items=None):
         },
         force=True,
     )
-    if other_items:
+    if other_items and write_meta:
         with open(os.path.join(path, "train_meta.json"), "w") as f:
             json.dump(_jsonable(other_items), f)
 
