@@ -42,6 +42,21 @@ def _fused_resnet_mode():
     return fused_mode()
 
 
+def _fused_proj_enabled() -> bool:
+    """Whether the ResNet conv3 1x1 shortcut rides the fused conv1
+    kernel (emit_proj) instead of running as a separate XLA conv that
+    re-reads the input. ML_MDM_TPU_FUSED_PROJ=0 disables."""
+    return os.environ.get("ML_MDM_TPU_FUSED_PROJ", "1") != "0"
+
+
+def _channel_offsets(cs):
+    """[c0, c1, ...] -> [0, c0, c0+c1, ...] (operand split bounds)."""
+    offs = [0]
+    for c in cs:
+        offs.append(offs[-1] + c)
+    return offs
+
+
 @dataclass
 class ResNetConfig:
     """Mirrors reference ResNetConfig (unet.py:44-59)."""
@@ -201,6 +216,46 @@ def _gn_affine_from_moments(mean, var, scale, bias, b_, g, cg, ones,
     return a, b
 
 
+def group_norm_coeffs_concat(xs, scale, bias, g, eps: float = 1e-5):
+    """GroupNorm affine coefficients of the CHANNEL CONCATENATION of
+    ``xs`` — without materialising it. Per-operand spatial sums feed the
+    shared group moments (E[x^2]-mean^2 form, f32 accumulation — the
+    consumers are the bf16 fused eval paths, where this matches
+    group_norm_coeffs' bf16 branch numerics). Used by the lazy
+    skip-concat path: the up-path U-Net concat (reference
+    unet.py:548-560) never exists in HBM."""
+    from ml_mdm_tpu.ops.gn_stats import gn_stats_mode, spatial_sums
+
+    s1s, s2s = [], []
+    for x in xs:
+        spatial = tuple(range(1, x.ndim - 1))
+        big = (
+            x.dtype == jnp.bfloat16
+            and x.ndim == 4
+            and min(x.shape[1], x.shape[2]) >= int(
+                os.environ.get("ML_MDM_TPU_FUSED_MIN_SIDE", "128")
+            )
+        )
+        mode = gn_stats_mode() if big else None
+        if mode is not None:
+            s1, s2 = spatial_sums(x, mode == "interpret")
+        else:
+            s1 = jnp.sum(x, axis=spatial, dtype=jnp.float32)
+            s2 = jnp.sum(
+                jnp.square(x.astype(jnp.float32)), axis=spatial,
+                dtype=jnp.float32,
+            )
+        s1s.append(s1)
+        s2s.append(s2)
+    n_spatial = 1
+    for ax in range(1, xs[0].ndim - 1):
+        n_spatial *= xs[0].shape[ax]
+    return group_norm_coeffs_from_sums(
+        jnp.concatenate(s1s, axis=-1), jnp.concatenate(s2s, axis=-1),
+        n_spatial, scale, bias, g, eps=eps, ndim=xs[0].ndim,
+    )
+
+
 def group_norm_coeffs_from_sums(s1, s2, n_spatial, scale, bias, g,
                                 eps: float = 1e-5, ndim: int = 4):
     """GroupNorm affine coefficients from per-channel spatial sums.
@@ -303,7 +358,29 @@ class ResNet(nn.Module):
         """One body for both execution layouts: the packed
         (space-to-depth, ops/space_to_depth.py) path substitutes conv
         and per-channel-vector primitives; all the math lives once in
-        _forward so the two layouts cannot drift apart."""
+        _forward so the two layouts cannot drift apart.
+
+        ``x`` may be a TUPLE (x, skip): the lazy skip-concat. When the
+        fused eval path engages, the operands feed the Pallas kernel
+        separately (the concatenated tensor never exists in HBM —
+        profiled r3: the concat dynamic-update-slices plus the 1x1
+        shortcut conv on the concat were ~25% of the 1024px forward);
+        otherwise the concat happens right here and nothing changes."""
+        if isinstance(x, (tuple, list)):
+            x = tuple(x)
+            engages = (
+                not train
+                and not self.is_initializing()
+                and _fused_resnet_mode() is not None
+                and (
+                    packed
+                    or min(x[0].shape[1], x[0].shape[2]) >= int(
+                        os.environ.get("ML_MDM_TPU_FUSED_MIN_SIDE", "128")
+                    )
+                )
+            )
+            if not engages:
+                x = jnp.concatenate(x, axis=-1)
         if packed and not self.is_initializing():
             from ml_mdm_tpu.ops import space_to_depth as s2d
 
@@ -317,12 +394,17 @@ class ResNet(nn.Module):
                 )
 
             def coeffs(name, h):
+                if isinstance(h, tuple):
+                    return group_norm_coeffs_concat(
+                        h, rep(p[name]["scale"]), rep(p[name]["bias"]), g
+                    )
                 return group_norm_coeffs(
                     h, rep(p[name]["scale"]), rep(p[name]["bias"]), g
                 )
 
             fused = None
             gn_params = None
+            fused_proj = False
             from ml_mdm_tpu.ops import fused_resnet as fr
 
             p_eval_mode = None if train else _fused_resnet_mode()
@@ -334,15 +416,56 @@ class ResNet(nn.Module):
                 p_interp = (p_eval_mode or p_train_mode) == "interpret"
 
                 if p_eval_mode is not None:
-                    def fused(name, h, a, b, residual, **kw):  # noqa: F811
+                    fused_proj = _fused_proj_enabled()
+
+                    def fused(name, h, a, b, residual,  # noqa: F811
+                              proj=None, **kw):
+                        a = a.reshape(a.shape[0], a.shape[-1])
+                        b = b.reshape(b.shape[0], b.shape[-1])
+                        k = p[name]["kernel"]
+                        pk = pb = None
+                        if isinstance(h, tuple):
+                            # channel-major packing: pack(concat) ==
+                            # concat(pack), so slicing the UNPACKED
+                            # kernel at the operand boundary and packing
+                            # each slice is exact
+                            offs = _channel_offsets(
+                                [hi.shape[-1] // 4 for hi in h]
+                            )
+                            k = tuple(
+                                s2d.pack_conv3x3_kernel(k[:, :, lo:hi, :])
+                                for lo, hi in zip(offs, offs[1:])
+                            )
+                            a = tuple(
+                                a[:, 4 * lo:4 * hi]
+                                for lo, hi in zip(offs, offs[1:])
+                            )
+                            b = tuple(
+                                b[:, 4 * lo:4 * hi]
+                                for lo, hi in zip(offs, offs[1:])
+                            )
+                            if proj is not None:
+                                kp = p[proj]["kernel"]
+                                pk = tuple(
+                                    s2d.pack_conv1x1_kernel(
+                                        kp[:, :, lo:hi, :]
+                                    )[0, 0]
+                                    for lo, hi in zip(offs, offs[1:])
+                                )
+                        else:
+                            k = s2d.pack_conv3x3_kernel(k)
+                            if proj is not None:
+                                pk = s2d.pack_conv1x1_kernel(
+                                    p[proj]["kernel"]
+                                )[0, 0]
+                        if proj is not None:
+                            pb = rep(p[proj].get("bias"))
                         return fr.affine_silu_conv3x3(
-                            h,
-                            a.reshape(a.shape[0], a.shape[-1]),
-                            b.reshape(b.shape[0], b.shape[-1]),
-                            s2d.pack_conv3x3_kernel(p[name]["kernel"]),
+                            h, a, b, k,
                             rep(p[name].get("bias")),
                             residual,
                             interpret=p_interp,
+                            proj_kernel=pk, proj_bias=pb,
                             **kw,
                         )
                 else:
@@ -374,17 +497,25 @@ class ResNet(nn.Module):
                     return rep(p[name]["scale"]), rep(p[name]["bias"])
 
             return self._forward(x, temb, train, conv, coeffs, rep,
-                                 fused=fused, gn_params=gn_params)
+                                 fused=fused, gn_params=gn_params,
+                                 fused_proj=fused_proj)
 
         def conv(name, h):
             return getattr(self, name)(h)
 
         def coeffs(name, h):
+            if isinstance(h, tuple):
+                pn = self.variables["params"][name]
+                return group_norm_coeffs_concat(
+                    h, pn["scale"], pn["bias"],
+                    self.config.num_groups_norm,
+                )
             return getattr(self, name).affine_coeffs(h)
 
         min_side = int(os.environ.get("ML_MDM_TPU_FUSED_MIN_SIDE", "128"))
         fused = None
         gn_params = None
+        fused_proj = False
         from ml_mdm_tpu.ops import fused_resnet as fr
 
         eval_mode = None if train else _fused_resnet_mode()
@@ -392,9 +523,10 @@ class ResNet(nn.Module):
             fr.fused_train_mode()
             if train and self.config.dropout == 0.0 else None
         )
+        x0 = x[0] if isinstance(x, tuple) else x
         if (
             not self.is_initializing()
-            and min(x.shape[1], x.shape[2]) >= min_side
+            and min(x0.shape[1], x0.shape[2]) >= min_side
             and (eval_mode or train_mode) is not None
         ):
             # large-spatial unpacked stages (e.g. the 256px shell) hit
@@ -406,15 +538,44 @@ class ResNet(nn.Module):
             interp = (eval_mode or train_mode) == "interpret"
 
             if eval_mode is not None:
-                def fused(name, h, a, b, residual, **kw):  # noqa: F811
+                fused_proj = _fused_proj_enabled()
+
+                def fused(name, h, a, b, residual,  # noqa: F811
+                          proj=None, **kw):
+                    a = a.reshape(a.shape[0], a.shape[-1])
+                    b = b.reshape(b.shape[0], b.shape[-1])
+                    k = p[name]["kernel"]
+                    pk = pb = None
+                    if isinstance(h, tuple):
+                        offs = _channel_offsets(
+                            [hi.shape[-1] for hi in h]
+                        )
+                        k = tuple(
+                            k[:, :, lo:hi, :]
+                            for lo, hi in zip(offs, offs[1:])
+                        )
+                        a = tuple(
+                            a[:, lo:hi] for lo, hi in zip(offs, offs[1:])
+                        )
+                        b = tuple(
+                            b[:, lo:hi] for lo, hi in zip(offs, offs[1:])
+                        )
+                        if proj is not None:
+                            kp = p[proj]["kernel"][0, 0]
+                            pk = tuple(
+                                kp[lo:hi, :]
+                                for lo, hi in zip(offs, offs[1:])
+                            )
+                    elif proj is not None:
+                        pk = p[proj]["kernel"][0, 0]
+                    if proj is not None:
+                        pb = p[proj].get("bias")
                     return fr.affine_silu_conv3x3(
-                        h,
-                        a.reshape(a.shape[0], a.shape[-1]),
-                        b.reshape(b.shape[0], b.shape[-1]),
-                        p[name]["kernel"],
+                        h, a, b, k,
                         p[name].get("bias"),
                         residual,
                         interpret=interp,
+                        proj_kernel=pk, proj_bias=pb,
                         **kw,
                     )
             else:
@@ -443,11 +604,14 @@ class ResNet(nn.Module):
                 return p[name]["scale"], p[name]["bias"]
 
         return self._forward(x, temb, train, conv, coeffs, lambda v: v,
-                             fused=fused, gn_params=gn_params)
+                             fused=fused, gn_params=gn_params,
+                             fused_proj=fused_proj)
 
     def _forward(self, x, temb, train, conv, coeffs, vec, fused=None,
-                 gn_params=None):
+                 gn_params=None, fused_proj=False):
         cfg = self.config
+        needs_proj = cfg.output_channels != cfg.num_channels
+        res = None
         a1, b1 = coeffs("norm1", x)
         if fused is not None:
             # Pallas path (ops/fused_resnet.py): norm-affine + SiLU +
@@ -455,10 +619,18 @@ class ResNet(nn.Module):
             # XLA conv's internal spatial-tiled layout otherwise costs
             # a relayout copy at every non-conv consumer. The kernel
             # also emits sum/sum-of-squares of its output, so norm2's
-            # statistics never re-read the activation. Eval only.
-            h, hs1, hs2 = fused("conv1", x, a1, b1, None,
-                                emit_stats=True)
+            # statistics never re-read the activation. With fused_proj
+            # the conv3 1x1 shortcut projection rides the same pass
+            # (emit_proj) instead of re-reading x; a tuple x (lazy
+            # skip-concat) feeds the kernel per-operand. Eval only.
+            if needs_proj and fused_proj:
+                h, hs1, hs2, res = fused("conv1", x, a1, b1, None,
+                                         emit_stats=True, proj="conv3")
+            else:
+                h, hs1, hs2 = fused("conv1", x, a1, b1, None,
+                                    emit_stats=True)
         else:
+            assert not isinstance(x, tuple)
             h = conv("conv1", jax.nn.silu(x * a1.astype(x.dtype)
                                           + b1.astype(x.dtype)))
         t = self.time_layer(jax.nn.silu(temb))  # (B, 2*out)
@@ -480,11 +652,10 @@ class ResNet(nn.Module):
         if fused is not None:
             a2f = a2 * (1.0 + ta)
             b2f = b2 * (1.0 + ta) + tb
-            res = (
-                conv("conv3", x)
-                if cfg.output_channels != cfg.num_channels
-                else x
-            )
+            if res is None:
+                if isinstance(x, tuple):
+                    x = jnp.concatenate(x, axis=-1)
+                res = conv("conv3", x) if needs_proj else x
             return fused("conv2", h, a2f, b2f, res)
         a2 = (a2 * (1.0 + ta)).astype(h.dtype)
         b2 = (b2 * (1.0 + ta) + tb).astype(h.dtype)
@@ -866,7 +1037,13 @@ class ResNetBlockStage(nn.Module):
                 skip = skips.pop(0)
                 if packed and not packed_in:
                     skip = s2d.space_to_depth(skip)
-                x = jnp.concatenate([x, skip], axis=-1)
+                if not train and _fused_resnet_mode() is not None:
+                    # lazy skip-concat: the fused ResNet path consumes
+                    # the operands directly (ResNet.__call__ concats
+                    # eagerly whenever that path doesn't engage)
+                    x = (x, skip)
+                else:
+                    x = jnp.concatenate([x, skip], axis=-1)
             x = self.resnets[i](x, temb, train=train, packed=packed)
             if self.num_attention_layers > 0:
                 L = self.num_attention_layers

@@ -71,78 +71,158 @@ def conv3x3_fast(x, w, bias, residual=None):
     )
 
 
-def _kernel(prev_ref, cur_ref, next_ref, a_ref, b_ref, w_ref, bias_ref,
-            res_ref, out_ref, st_ref, s_ref, *,
-            th: int, apply_silu: bool, with_residual: bool,
-            emit_stats: bool, halo_rows: bool = True):
+def _kernel(*args, th: int, n_ops: int, apply_silu: bool,
+            with_residual: bool, emit_stats: bool, emit_proj: bool,
+            halo_rows: bool = True):
     """One grid step computes TH output rows of one batch element.
 
-    cur_ref:  (1, TH, W, C) row block i
-    prev/next_ref: (1, 1, W, C) SINGLE-row halos — the last row of
-        block i-1 / first row of block i+1 (index maps clamp at the
-        image border; the duplicated edge rows are masked to zero
-        below, matching conv padding=1). Fetching one-row halos rather
-        than whole neighbour blocks keeps HBM input reads at
-        (1 + 2/TH)x instead of 3x.
-    a_ref, b_ref: (B, C) f32 whole-array — per-(batch, channel) affine
-    w_ref:   (3, 3, C, Cout)
-    bias_ref:(1, Cout) whole-array
-    res_ref: (1, TH, W, Cout) residual to add (zeros block when unused)
-    out_ref: (1, TH, W, Cout)
-    st_ref: (1, 8, Cout) f32 — accumulated stats of the OUTPUT for the
-        next GroupNorm: row 0 the sum, row 1 the sum of squares (the
-        block revisits across row-block grid steps, accumulating in
-        VMEM; a separate stats pass over the activation never runs)
-    s_ref:   (TH+2, W+2, C) VMEM scratch: silu(x*a+b), zero-framed
+    Generalised over N input operands (N=2 executes a skip-concat conv
+    as summed per-operand dots — the concatenated tensor never exists
+    in HBM). Ref layout (positional, per the in_specs assembly in
+    affine_silu_conv3x3):
+
+      per op k: prev_k, cur_k, next_k — (1, TH, W, Ck) row block i and
+          (1, 1, W, Ck) SINGLE-row halos (the last row of block i-1 /
+          first row of block i+1; index maps clamp at the image border
+          and the duplicated edge rows are masked to zero, matching
+          conv padding=1). One-row halos keep HBM input reads at
+          (1 + 2/TH)x instead of 3x.
+      per op k: a_k, b_k — (B, Ck) f32 whole-array per-(batch, channel)
+          affine
+      per op k: w_k — (3, 3, Ck, Cout)
+      bias_ref: (1, Cout) whole-array
+      res_ref:  (1, TH, W, Cout) residual to add (zeros when unused)
+      per op k (emit_proj): rk_k — (Ck, Cout2) 1x1-conv kernel applied
+          to the RAW input (the ResNet conv3 shortcut projection rides
+          the same pass instead of re-reading the operands)
+      rbias_ref (emit_proj): (1, Cout2)
+    Outputs:
+      out_ref:  (1, TH, W, Cout)
+      st_ref:   (1, 8, Cout) f32 — accumulated stats of the OUTPUT for
+          the next GroupNorm: row 0 the sum, row 1 the sum of squares
+          (the block revisits across row-block grid steps, accumulating
+          in VMEM; a separate stats pass over the activation never runs)
+      proj_ref (emit_proj): (1, TH, W, Cout2)
+    Scratch:
+      s_k per op: (TH+2, W+2, Ck) VMEM: silu(x*a+b), zero-framed. Only
+          the BORDER is zeroed (columns once — scratch persists across
+          grid steps — halo rows per step); zeroing the whole block
+          each step was pure VPU/VMEM waste.
     """
+    idx = 0
+    prevs = []
+    curs = []
+    nexts = []
+    for _ in range(n_ops):
+        prevs.append(args[idx])
+        curs.append(args[idx + 1])
+        nexts.append(args[idx + 2])
+        idx += 3
+    a_refs = []
+    b_refs = []
+    for _ in range(n_ops):
+        a_refs.append(args[idx])
+        b_refs.append(args[idx + 1])
+        idx += 2
+    w_refs = args[idx:idx + n_ops]
+    idx += n_ops
+    bias_ref = args[idx]
+    res_ref = args[idx + 1]
+    idx += 2
+    if emit_proj:
+        rk_refs = args[idx:idx + n_ops]
+        rbias_ref = args[idx + n_ops]
+        idx += n_ops + 1
+    out_ref = args[idx]
+    st_ref = args[idx + 1]
+    idx += 2
+    if emit_proj:
+        proj_ref = args[idx]
+        idx += 1
+    s_refs = args[idx:idx + n_ops]
+
     bi = pl.program_id(0)
     i = pl.program_id(1)
     n_i = pl.num_programs(1)
-    w_len = cur_ref.shape[2]
+    w_len = curs[0].shape[2]
+    first = jnp.logical_and(bi == 0, i == 0)
 
-    a = a_ref[bi, :].astype(jnp.float32)
-    b = b_ref[bi, :].astype(jnp.float32)
-
-    def act(rows):
-        v = rows.astype(jnp.float32) * a + b
-        if apply_silu:
-            v = jax.nn.silu(v)
-        return v.astype(s_ref.dtype)
-
-    # zero frame: one halo row top/bottom, one halo column left/right
-    s_ref[:, :, :] = jnp.zeros_like(s_ref)
-    s_ref[1:th + 1, 1:w_len + 1, :] = act(cur_ref[0])
-
-    @pl.when(i > 0)
-    def _():
-        s_ref[0, 1:w_len + 1, :] = act(
-            prev_ref[0, 0 if halo_rows else th - 1, :, :]
-        )
-
-    @pl.when(i < n_i - 1)
-    def _():
-        s_ref[th + 1, 1:w_len + 1, :] = act(next_ref[0, 0, :, :])
-
-    # 9 taps as MXU dots; accumulate in registers, one VMEM write.
-    # (A/B note: pre-shifting the three dx column windows into aligned
-    # scratch buffers to avoid sublane-offset reads measured NO change
-    # on v5e — Mosaic already handles the offset slices well.)
     acc = None
-    for dy in range(3):
-        for dx in range(3):
-            tile = s_ref[dy:dy + th, dx:dx + w_len, :]
-            part = jax.lax.dot_general(
-                tile.reshape(th * w_len, tile.shape[-1]),
-                w_ref[dy, dx, :, :],
+    acc2 = None
+    for k in range(n_ops):
+        a = a_refs[k][bi, :].astype(jnp.float32)
+        b = b_refs[k][bi, :].astype(jnp.float32)
+        s_ref = s_refs[k]
+
+        def act(rows, a=a, b=b, s_ref=s_ref):
+            v = rows.astype(jnp.float32) * a + b
+            if apply_silu:
+                v = jax.nn.silu(v)
+            return v.astype(s_ref.dtype)
+
+        # border columns: zeroed ONCE (nothing else writes them; the
+        # corner cells of the halo rows stay zero for the same reason)
+        @pl.when(first)
+        def _(s_ref=s_ref):
+            s_ref[:, 0, :] = jnp.zeros_like(s_ref[:, 0, :])
+            s_ref[:, w_len + 1, :] = jnp.zeros_like(s_ref[:, 0, :])
+
+        s_ref[1:th + 1, 1:w_len + 1, :] = act(curs[k][0])
+
+        zero_row = jnp.zeros_like(s_ref[0, 1:w_len + 1, :])
+
+        @pl.when(i > 0)
+        def _(k=k, act=act, s_ref=s_ref):
+            s_ref[0, 1:w_len + 1, :] = act(
+                prevs[k][0, 0 if halo_rows else th - 1, :, :]
+            )
+
+        @pl.when(i == 0)
+        def _(s_ref=s_ref, zero_row=zero_row):
+            s_ref[0, 1:w_len + 1, :] = zero_row
+
+        @pl.when(i < n_i - 1)
+        def _(k=k, act=act, s_ref=s_ref):
+            s_ref[th + 1, 1:w_len + 1, :] = act(nexts[k][0, 0, :, :])
+
+        @pl.when(i == n_i - 1)
+        def _(s_ref=s_ref, zero_row=zero_row):
+            s_ref[th + 1, 1:w_len + 1, :] = zero_row
+
+        # 9 taps as MXU dots; accumulate in registers, one VMEM write.
+        # (A/B note: pre-shifting the three dx column windows into
+        # aligned scratch buffers to avoid sublane-offset reads measured
+        # NO change on v5e — Mosaic handles the offset slices well.)
+        for dy in range(3):
+            for dx in range(3):
+                tile = s_ref[dy:dy + th, dx:dx + w_len, :]
+                part = jax.lax.dot_general(
+                    tile.reshape(th * w_len, tile.shape[-1]),
+                    w_refs[k][dy, dx, :, :],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                acc = part if acc is None else acc + part
+
+        if emit_proj:
+            raw = curs[k][0]
+            part2 = jax.lax.dot_general(
+                raw.reshape(th * w_len, raw.shape[-1]).astype(s_ref.dtype),
+                rk_refs[k][:, :],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            acc = part if acc is None else acc + part
+            acc2 = part2 if acc2 is None else acc2 + part2
 
     y = acc.reshape(th, w_len, -1) + bias_ref[0, :].astype(jnp.float32)
     if with_residual:
         y = y + res_ref[0].astype(jnp.float32)
     out_ref[0, :, :, :] = y.astype(out_ref.dtype)
+    if emit_proj:
+        p = acc2.reshape(th, w_len, -1) + rbias_ref[0, :].astype(
+            jnp.float32
+        )
+        proj_ref[0, :, :, :] = p.astype(proj_ref.dtype)
     if emit_stats:
         # stats of the stored (rounded) output with the same dtype
         # semantics as group_norm_coeffs' bf16 branch: square in the
@@ -166,17 +246,50 @@ def _kernel(prev_ref, cur_ref, next_ref, a_ref, b_ref, w_ref, bias_ref,
 def affine_silu_conv3x3(x, a, b, w, bias, residual=None, *,
                         apply_silu: bool = True, tile_h: int = 8,
                         interpret: bool = False, emit_stats: bool = False,
-                        halo_rows: bool = True):
+                        halo_rows: bool = True, proj_kernel=None,
+                        proj_bias=None):
     """y = conv3x3(silu(x*a+b), w, padding=1) + bias [+ residual].
 
     x: (B, H, W, C); a, b: (B, C) f32; w: (3, 3, C, Cout);
     bias: (Cout,); residual: optional (B, H, W, Cout).
+
+    Each of x/a/b/w (and proj_kernel) may instead be a TUPLE of N
+    per-operand values: the op then computes the conv of the CHANNEL
+    CONCATENATION silu(concat_k(x_k * a_k + b_k)) without ever
+    materialising the concatenated tensor — the up-path skip concats of
+    the U-Net (reference unet.py:548-560) execute as summed per-operand
+    MXU dots.
+
+    proj_kernel (optional, (C_k, Cout2) per operand) additionally emits
+    proj = concat_k(x_k) @ proj_kernel + proj_bias — the ResNet conv3
+    1x1 shortcut (reference unet.py:213-215) computed from the operands
+    already in VMEM instead of a separate XLA conv that re-reads them.
+
     Returns (B, H, W, Cout) in x.dtype; with emit_stats additionally
     (s1, s2): (B, Cout) f32 sum / sum-of-squares of the output over the
-    spatial axes (for the consumer GroupNorm — no separate stats pass).
+    spatial axes (for the consumer GroupNorm — no separate stats pass);
+    with proj_kernel additionally the (B, H, W, Cout2) projection.
     """
-    bsz, h, w_len, c = x.shape
-    cout = w.shape[-1]
+    xs = x if isinstance(x, (tuple, list)) else (x,)
+    a_s = a if isinstance(a, (tuple, list)) else (a,)
+    b_s = b if isinstance(b, (tuple, list)) else (b,)
+    ws = w if isinstance(w, (tuple, list)) else (w,)
+    n_ops = len(xs)
+    emit_proj = proj_kernel is not None
+    rks = ()
+    if emit_proj:
+        rks = (
+            proj_kernel
+            if isinstance(proj_kernel, (tuple, list))
+            else (proj_kernel,)
+        )
+        assert len(rks) == n_ops
+    assert len(a_s) == len(b_s) == len(ws) == n_ops
+
+    x0 = xs[0]
+    bsz, h, w_len, _ = x0.shape
+    cs = [xi.shape[-1] for xi in xs]
+    cout = ws[0].shape[-1]
     th = min(tile_h, h)
     while h % th:
         th //= 2
@@ -184,7 +297,7 @@ def affine_silu_conv3x3(x, a, b, w, bias, residual=None, *,
 
     with_residual = residual is not None
     if residual is None:
-        residual = jnp.zeros((bsz, 1, 1, 1), x.dtype)
+        residual = jnp.zeros((bsz, 1, 1, 1), x0.dtype)
         res_spec = pl.BlockSpec((1, 1, 1, 1), lambda bi, ii: (bi, 0, 0, 0),
                                 memory_space=pltpu.VMEM)
     else:
@@ -192,94 +305,135 @@ def affine_silu_conv3x3(x, a, b, w, bias, residual=None, *,
                                 lambda bi, ii: (bi, ii, 0, 0),
                                 memory_space=pltpu.VMEM)
 
-    cur_spec = pl.BlockSpec(
-        (1, th, w_len, c),
-        lambda bi, ii: (bi, ii, 0, 0),
-        memory_space=pltpu.VMEM,
+    in_specs = []
+    for c in cs:
+        cur_spec = pl.BlockSpec(
+            (1, th, w_len, c),
+            lambda bi, ii: (bi, ii, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        if halo_rows:
+            # one-row halo blocks (block shape 1 on the row axis => the
+            # block index IS the row index): last row of block ii-1,
+            # first of ii+1 — HBM input reads (1 + 2/TH)x instead of 3x
+            prev_spec = pl.BlockSpec(
+                (1, 1, w_len, c),
+                lambda bi, ii: (bi, jnp.maximum(ii * th - 1, 0), 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            next_spec = pl.BlockSpec(
+                (1, 1, w_len, c),
+                lambda bi, ii: (bi, jnp.minimum((ii + 1) * th, h - 1),
+                                0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        else:
+            # whole neighbour blocks (3x input reads, larger DMAs)
+            prev_spec = pl.BlockSpec(
+                (1, th, w_len, c),
+                lambda bi, ii: (bi, jnp.maximum(ii - 1, 0), 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            next_spec = pl.BlockSpec(
+                (1, th, w_len, c),
+                lambda bi, ii: (bi, jnp.minimum(ii + 1, n_i - 1), 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        in_specs.extend([prev_spec, cur_spec, next_spec])
+    # a_k, b_k whole-array, then w_k whole-array
+    in_specs.extend(
+        [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 * n_ops + n_ops)
     )
-    if halo_rows:
-        # one-row halo blocks (block shape 1 on the row axis => the
-        # block index IS the row index): last row of block ii-1, first
-        # of ii+1 — HBM input reads (1 + 2/TH)x instead of 3x
-        prev_spec = pl.BlockSpec(
-            (1, 1, w_len, c),
-            lambda bi, ii: (bi, jnp.maximum(ii * th - 1, 0), 0, 0),
-            memory_space=pltpu.VMEM,
-        )
-        next_spec = pl.BlockSpec(
-            (1, 1, w_len, c),
-            lambda bi, ii: (bi, jnp.minimum((ii + 1) * th, h - 1), 0, 0),
-            memory_space=pltpu.VMEM,
-        )
-    else:
-        # whole neighbour blocks (3x input reads, larger DMAs)
-        prev_spec = pl.BlockSpec(
-            (1, th, w_len, c),
-            lambda bi, ii: (bi, jnp.maximum(ii - 1, 0), 0, 0),
-            memory_space=pltpu.VMEM,
-        )
-        next_spec = pl.BlockSpec(
-            (1, th, w_len, c),
-            lambda bi, ii: (bi, jnp.minimum(ii + 1, n_i - 1), 0, 0),
-            memory_space=pltpu.VMEM,
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # bias
+    in_specs.append(res_spec)
+    if emit_proj:
+        in_specs.extend(
+            [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_ops + 1)
         )
 
     kernel = functools.partial(
-        _kernel, th=th, apply_silu=apply_silu,
+        _kernel, th=th, n_ops=n_ops, apply_silu=apply_silu,
         with_residual=with_residual, emit_stats=emit_stats,
-        halo_rows=halo_rows,
+        emit_proj=emit_proj, halo_rows=halo_rows,
     )
-    scratch_shapes = [pltpu.VMEM((th + 2, w_len + 2, c), x.dtype)]
+    scratch_shapes = [
+        pltpu.VMEM((th + 2, w_len + 2, c), x0.dtype) for c in cs
+    ]
     # the stats block revisits (constant index over ii): partial sums
     # accumulate in VMEM and flush to HBM once per batch row
     stat_spec = pl.BlockSpec((1, 8, cout), lambda bi, ii: (bi, 0, 0),
                              memory_space=pltpu.VMEM)
-    kernel = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((1, th, w_len, cout),
+                     lambda bi, ii: (bi, ii, 0, 0),
+                     memory_space=pltpu.VMEM),
+        stat_spec,
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((bsz, h, w_len, cout), x0.dtype),
+        jax.ShapeDtypeStruct((bsz, 8, cout), jnp.float32),
+    ]
+    if emit_proj:
+        cout2 = rks[0].shape[-1]
+        out_specs.append(
+            pl.BlockSpec((1, th, w_len, cout2),
+                         lambda bi, ii: (bi, ii, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((bsz, h, w_len, cout2), x0.dtype)
+        )
+
+    c_tot = sum(cs)
+    call = pl.pallas_call(
         kernel,
         grid=(bsz, n_i),
-        in_specs=[
-            prev_spec,
-            cur_spec,
-            next_spec,
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # a, whole array
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # b, whole array
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # w, whole array
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # bias, whole array
-            res_spec,
-        ],
-        out_specs=(
-            pl.BlockSpec((1, th, w_len, cout),
-                         lambda bi, ii: (bi, ii, 0, 0),
-                         memory_space=pltpu.VMEM),
-            stat_spec,
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((bsz, h, w_len, cout), x.dtype),
-            jax.ShapeDtypeStruct((bsz, 8, cout), jnp.float32),
-        ),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         scratch_shapes=scratch_shapes,
         cost_estimate=pl.CostEstimate(
-            flops=2 * bsz * h * w_len * 9 * c * cout,
-            bytes_accessed=(
-                (th + 2) * bsz * n_i * w_len * c * x.dtype.itemsize
-                + bsz * h * w_len * cout * x.dtype.itemsize
+            flops=2 * bsz * h * w_len * (
+                9 * c_tot * cout
+                + (c_tot * rks[0].shape[-1] if emit_proj else 0)
             ),
-            transcendentals=bsz * h * w_len * c if apply_silu else 0,
+            bytes_accessed=(
+                (th + 2) * bsz * n_i * w_len * c_tot * x0.dtype.itemsize
+                + bsz * h * w_len * cout * x0.dtype.itemsize
+            ),
+            transcendentals=bsz * h * w_len * c_tot if apply_silu else 0,
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )
-    y, st = kernel(
-        x, x, x,  # prev/cur/next row blocks of the same array
-        a.astype(jnp.float32), b.astype(jnp.float32),
-        w.astype(x.dtype), bias.reshape(1, -1).astype(jnp.float32),
-        residual,
-    )
-    if not emit_stats:
-        return y
-    return y, st[:, 0, :], st[:, 1, :]
+    operands = []
+    for xi in xs:
+        operands.extend([xi, xi, xi])  # prev/cur/next blocks, same array
+    for ai, bi_ in zip(a_s, b_s):
+        operands.extend([ai.astype(jnp.float32), bi_.astype(jnp.float32)])
+    operands.extend([wi.astype(x0.dtype) for wi in ws])
+    if bias is None:
+        bias = jnp.zeros((cout,), jnp.float32)
+    operands.append(bias.reshape(1, -1).astype(jnp.float32))
+    operands.append(residual)
+    if emit_proj:
+        operands.extend([rk.astype(x0.dtype) for rk in rks])
+        pb = (
+            proj_bias
+            if proj_bias is not None
+            else jnp.zeros((rks[0].shape[-1],), jnp.float32)
+        )
+        operands.append(pb.reshape(1, -1).astype(jnp.float32))
+    outs = call(*operands)
+    y, st = outs[0], outs[1]
+    ret = [y]
+    if emit_stats:
+        ret.extend([st[:, 0, :], st[:, 1, :]])
+    if emit_proj:
+        ret.append(outs[2])
+    return ret[0] if len(ret) == 1 else tuple(ret)
 
 
 def fused_train_mode():

@@ -50,8 +50,7 @@ class ReaderConfig:
 
         with open(config_file) as f:
             data = yaml.safe_load(f) or {}
-        known = {f_.name for f_ in cls.__dataclass_fields__.values()} \
-            if False else set(cls.__dataclass_fields__)
+        known = set(cls.__dataclass_fields__)
         return cls(**{k: v for k, v in data.items() if k in known})
 
     def save(self, config_file: str):

@@ -138,6 +138,39 @@ def test_nested_double_loss_with_weights():
     assert np.isfinite(np.asarray(losses)).all()
 
 
+def test_low_res_residual_scale_semantics():
+    """Pins the residual recombination math (NestedModel._low_res_residual):
+    pred_hi += get_pred_from_x0_xt(x_hi, bicubic_up(clip(x0_low)) / ratio,
+    gamma_hi). The /ratio damping is deliberate — it matches the
+    reference's own (otherwise-broken) branch, ref diffusion.py:288."""
+    pipe, params, sample = _nested_pipe()
+    b = 2
+    x_hi = jax.random.normal(jax.random.PRNGKey(0), (b, 16, 16, 3))
+    x_lo = jax.random.normal(jax.random.PRNGKey(1), (b, 8, 8, 3))
+    p_hi = jax.random.normal(jax.random.PRNGKey(2), (b, 16, 16, 3))
+    p_lo = jax.random.normal(jax.random.PRNGKey(3), (b, 8, 8, 3))
+    times = jnp.full((b,), 7, jnp.int32)
+
+    m = pipe.model
+    out = m._low_res_residual([x_hi, x_lo], [p_hi, p_lo], times)
+
+    smp = m.sampler
+    scales = list(m.vision_module.nest_ratio) + [1]
+    ratio = x_hi.shape[1] // x_lo.shape[1]
+    g = smp.get_gammas(smp.read_gamma(times + 1), scales)
+    x0_low = jnp.clip(
+        smp.get_x0_eps_from_pred(x_lo, p_lo, g[1], return_eps=False),
+        -1.0, 1.0,
+    )
+    up = jax.image.resize(
+        x0_low, (b, 16, 16, 3), method="cubic"
+    ) / ratio
+    want = p_hi + smp.get_pred_from_x0_xt(x_hi, up, g[0])
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out[1]), np.asarray(p_lo))
+
+
 def test_nested_mixed_ratio_trains():
     """mixed_ratio 2:1 — hi-res loss computed on the first half of the
     batch only (reference diffusion.py:262-274,308-313)."""

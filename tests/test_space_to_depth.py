@@ -296,6 +296,54 @@ def test_fused_resnet_kernel_exact():
                                    rtol=2e-5, atol=2e-5)
 
 
+def test_fused_resnet_kernel_multi_operand_and_proj():
+    """The N-operand form == conv of the channel concatenation; the
+    ride-along 1x1 projection == conv1x1 of the raw concat; the emitted
+    stats == sum / sum-of-squares of the output (interpret mode)."""
+    from ml_mdm_tpu.ops.fused_resnet import (
+        affine_silu_conv3x3, reference_affine_silu_conv3x3)
+
+    ks = jax.random.split(jax.random.PRNGKey(7), 10)
+    B, H, W, C1, C2, CO, CP = 2, 16, 12, 8, 16, 8, 12
+    x1 = jax.random.normal(ks[0], (B, H, W, C1)) * 0.5
+    x2 = jax.random.normal(ks[1], (B, H, W, C2)) * 0.5
+    a = jax.random.normal(ks[2], (B, C1 + C2)) * 0.2 + 1.0
+    b = jax.random.normal(ks[3], (B, C1 + C2)) * 0.1
+    w = jax.random.normal(ks[4], (3, 3, C1 + C2, CO)) * 0.1
+    bias = jax.random.normal(ks[5], (CO,)) * 0.1
+    res = jax.random.normal(ks[6], (B, H, W, CO))
+    rk = jax.random.normal(ks[7], (C1 + C2, CP)) * 0.1
+    rb = jax.random.normal(ks[8], (CP,)) * 0.1
+
+    xc = jnp.concatenate([x1, x2], axis=-1)
+    ref = reference_affine_silu_conv3x3(xc, a, b, w, bias, res)
+    proj_ref = (
+        jnp.einsum("bhwc,cp->bhwp", xc, rk) + rb
+    ).astype(xc.dtype)
+
+    got, s1, s2, proj = affine_silu_conv3x3(
+        (x1, x2),
+        (a[:, :C1], a[:, C1:]),
+        (b[:, :C1], b[:, C1:]),
+        (w[:, :, :C1, :], w[:, :, C1:, :]),
+        bias, res, interpret=True, emit_stats=True,
+        proj_kernel=(rk[:C1], rk[C1:]), proj_bias=rb,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(proj), np.asarray(proj_ref),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(s1), np.asarray(jnp.sum(got, axis=(1, 2),
+                                           dtype=jnp.float32)),
+        rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(s2),
+        np.asarray(jnp.sum(jnp.square(got.astype(jnp.float32)),
+                           axis=(1, 2))),
+        rtol=1e-5, atol=1e-5)
+
+
 def test_fused_resnet_stage_matches_plain(monkeypatch):
     """The packed UNet with the Pallas fused-resnet path (interpret
     mode) == the unpacked plain path, same params."""
@@ -330,6 +378,35 @@ def test_fused_resnet_stage_matches_plain(monkeypatch):
     ref = m_plain.apply({"params": params}, x, t, lm, mask, {})
     out = m_packed.apply({"params": params}, x, t, lm, mask, {})
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_resnet_lazy_concat_matches_plain(monkeypatch):
+    """ResNet fed the lazy (x, skip) tuple through the UNPACKED fused
+    eval path (interpret) == the plain path on the materialised concat
+    — including the ride-along conv3 shortcut projection."""
+    from ml_mdm_tpu.models.layers import ResNet, ResNetConfig
+
+    cfg = ResNetConfig(num_channels=24, output_channels=12,
+                       num_groups_norm=4, dropout=0.0)
+    m = ResNet(cfg)
+    x1 = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 8))
+    x2 = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 16))
+    xc = jnp.concatenate([x1, x2], axis=-1)
+    temb = jax.random.normal(jax.random.PRNGKey(2), (2, 32))
+    params = m.init(jax.random.PRNGKey(3), xc, temb)["params"]
+
+    monkeypatch.setenv("ML_MDM_TPU_FUSED", "0")
+    ref = m.apply({"params": params}, xc, temb)
+    monkeypatch.setenv("ML_MDM_TPU_FUSED", "interpret")
+    monkeypatch.setenv("ML_MDM_TPU_FUSED_MIN_SIDE", "8")
+    out = m.apply({"params": params}, (x1, x2), temb)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    # and with the ride-along projection disabled (separate XLA conv3)
+    monkeypatch.setenv("ML_MDM_TPU_FUSED_PROJ", "0")
+    out2 = m.apply({"params": params}, (x1, x2), temb)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
 
 
