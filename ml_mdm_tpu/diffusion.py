@@ -69,15 +69,16 @@ class Model:
         return self.vision_module.input_channels
 
     def __call__(self, params, x_t, times, lm_outputs, lm_mask, micros,
-                 train=False, dropout_rng=None):
+                 train=False, dropout_rng=None, packed_io=False):
         rngs = (
             {"dropout": dropout_rng}
             if (train and dropout_rng is not None)
             else None
         )
+        kw = {"packed_io": True} if packed_io else {}
         out = self.vision_module.apply(
             {"params": params}, x_t, times, lm_outputs, lm_mask, micros,
-            train=train, rngs=rngs,
+            train=train, rngs=rngs, **kw,
         )
         if self._output_scale != 0:
             s = self._output_scale
@@ -87,10 +88,24 @@ class Model:
                 out = jnp.tanh(out / s) * s
         return out
 
-    def fn(self, params, train=False):
+    def fn(self, params, train=False, packed_io=False):
         return lambda x, t, lm, mask, micros: self(
-            params, x, t, lm, mask, micros, train=train
+            params, x, t, lm, mask, micros, train=train, packed_io=packed_io
         )
+
+    @property
+    def packed_apply(self):
+        """Stable-identity weight-explicit caller with ``packed_io=True``
+        (the hi-res carry stays space-to-depth packed across the denoise
+        scan — see UNet.packs_input). Cached so jitted samplers that hash
+        ``model_apply`` by object identity reuse their compiled step."""
+        cached = getattr(self, "_packed_apply", None)
+        if cached is None:
+            def _apply(p, x, t, lm, mask, micros):
+                return self(p, x, t, lm, mask, micros, packed_io=True)
+
+            self._packed_apply = cached = _apply
+        return cached
 
 
 @config_mod.register_pipeline("unet")
@@ -162,17 +177,27 @@ class Diffusion:
             key, (num_examples, image_side, image_side, c), dtype=dtype
         )
 
+    def _packed_io(self, image_side: int) -> bool:
+        """Whether to keep the (hi-res) sampling carry space-to-depth
+        packed across the whole denoise loop: the per-step pack/unpack
+        boundary relayouts then happen once per sample instead of once
+        per step (profiled ~6% of the 1024px sampling step, r3)."""
+        fn = getattr(self.vision_module, "packs_input", None)
+        return bool(fn is not None and fn(image_side))
+
     def sample(self, params, num_examples, sample, image_side, key, **kwargs):
         k_noise, k_loop = jax.random.split(key)
         noise = self.get_noise(k_noise, num_examples, image_side)
         micros = self.get_micro_conditioning(sample)
+        packed = self._packed_io(image_side)
         return self.sampler.sample(
-            self.model.fn(params),
+            self.model.fn(params, packed_io=packed),
             noise,
             sample["lm_outputs"],
             sample["lm_mask"],
             micros,
             k_loop,
+            packed_hi=packed,
             **kwargs,
         )
 
@@ -181,15 +206,17 @@ class Diffusion:
         k_noise, k_loop = jax.random.split(key)
         noise = self.get_noise(k_noise, num_examples, image_side)
         micros = self.get_micro_conditioning(sample)
+        packed = self._packed_io(image_side)
         return self.sampler.sample_stream(
-            self.model.fn(params),
+            self.model.fn(params, packed_io=packed),
             noise,
             sample["lm_outputs"],
             sample["lm_mask"],
             micros,
             k_loop,
             params=params,
-            model_apply=self.model,
+            model_apply=self.model.packed_apply if packed else self.model,
+            packed_hi=packed,
             **kwargs,
         )
 
@@ -202,14 +229,16 @@ class Diffusion:
             k_noise, num_examples, image_side, dtype=noise_dtype
         )
         micros = self.get_micro_conditioning(sample)
+        packed = self._packed_io(image_side)
         return self.sampler.sample_chunked(
             params,
-            self.model,
+            self.model.packed_apply if packed else self.model,
             noise,
             sample["lm_outputs"],
             sample["lm_mask"],
             micros,
             k_loop,
+            packed_hi=packed,
             **kwargs,
         )
 
@@ -224,14 +253,16 @@ class Diffusion:
             self.sampler.get_image_rescaled(images), eps, g
         )
         micros = self.get_micro_conditioning(sample)
+        packed = self._packed_io(images.shape[1])
         return self.sampler.sample(
-            self.model.fn(params),
+            self.model.fn(params, packed_io=packed),
             x_t,
             sample["lm_outputs"],
             sample["lm_mask"],
             micros,
             k_loop,
             t_start=t,
+            packed_hi=packed,
             **kwargs,
         )
 
@@ -289,7 +320,8 @@ class NestedModel(Model):
         return [pred, pred_low] + list(p_t[2:])
 
     def __call__(self, params, x_t, times, lm_outputs, lm_mask, micros,
-                 train=False, mixed_ratio=None, dropout_rng=None):
+                 train=False, mixed_ratio=None, dropout_rng=None,
+                 packed_io=False):
         batch = x_t[0].shape[0]
         if mixed_ratio is not None:
             x_t = [x[: int(m * x.shape[0])] for x, m in zip(x_t, mixed_ratio)]
@@ -298,9 +330,10 @@ class NestedModel(Model):
             if (train and dropout_rng is not None)
             else None
         )
+        kw = {"packed_io": True} if packed_io else {}
         p_t = self.vision_module.apply(
             {"params": params}, x_t, times, lm_outputs, lm_mask, micros,
-            train=train, rngs=rngs,
+            train=train, rngs=rngs, **kw,
         )
         if self._output_scale != 0:
             s = self._output_scale
@@ -316,13 +349,17 @@ class NestedModel(Model):
                 for p in p_t
             ]
         if not self.diffusion_config.no_use_residual:
+            assert not packed_io, (
+                "packed sampling carry is gated off when residual "
+                "recombination is active (it needs the unpacked layout)"
+            )
             p_t = self._low_res_residual(x_t, p_t, times)
         return p_t
 
-    def fn(self, params, train=False):
+    def fn(self, params, train=False, packed_io=False):
         # sampling path: no mixed-ratio slicing
         return lambda x, t, lm, mask, micros: self(
-            params, x, t, lm, mask, micros, train=train
+            params, x, t, lm, mask, micros, train=train, packed_io=packed_io
         )
 
 
@@ -472,18 +509,26 @@ class NestedDiffusion(Diffusion):
             dtype=dtype,
         )
 
+    def _packed_io(self, image_side: int) -> bool:
+        # residual recombination reads the unpacked hi-res layout
+        if not self._config.no_use_residual:
+            return False
+        return super()._packed_io(image_side)
+
     def sample(self, params, num_examples, sample, image_side, key, **kwargs):
         k_noise, k_loop = jax.random.split(key)
         noise = self.get_noise(k_noise, num_examples, image_side)
         micros = self.get_micro_conditioning(sample)
+        packed = self._packed_io(image_side)
         return self.sampler.sample(
-            self.model.fn(params),
+            self.model.fn(params, packed_io=packed),
             noise,
             sample["lm_outputs"],
             sample["lm_mask"],
             micros,
             k_loop,
             scales=self.scales,
+            packed_hi=packed,
             **kwargs,
         )
 
@@ -492,8 +537,9 @@ class NestedDiffusion(Diffusion):
         k_noise, k_loop = jax.random.split(key)
         noise = self.get_noise(k_noise, num_examples, image_side)
         micros = self.get_micro_conditioning(sample)
+        packed = self._packed_io(image_side)
         return self.sampler.sample_stream(
-            self.model.fn(params),
+            self.model.fn(params, packed_io=packed),
             noise,
             sample["lm_outputs"],
             sample["lm_mask"],
@@ -501,7 +547,8 @@ class NestedDiffusion(Diffusion):
             k_loop,
             scales=self.scales,
             params=params,
-            model_apply=self.model,
+            model_apply=self.model.packed_apply if packed else self.model,
+            packed_hi=packed,
             **kwargs,
         )
 
@@ -512,14 +559,16 @@ class NestedDiffusion(Diffusion):
             k_noise, num_examples, image_side, dtype=noise_dtype
         )
         micros = self.get_micro_conditioning(sample)
+        packed = self._packed_io(image_side)
         return self.sampler.sample_chunked(
             params,
-            self.model,
+            self.model.packed_apply if packed else self.model,
             noise,
             sample["lm_outputs"],
             sample["lm_mask"],
             micros,
             k_loop,
             scales=self.scales,
+            packed_hi=packed,
             **kwargs,
         )

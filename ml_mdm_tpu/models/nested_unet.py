@@ -174,6 +174,7 @@ class NestedUNet(UNet):
         cond_mask=None,
         micros=None,
         train=False,
+        packed_io=False,
     ):
         micros = micros or {}
         temb = self.create_temporal_embedding(times)
@@ -183,14 +184,17 @@ class NestedUNet(UNet):
             temb = temb + self.forward_micro_conditioning(times, micros)
 
         if self.config.nesting:
+            assert not packed_io, "packed_io only applies to the outer shell"
             x_t, x_feat = x_t
         bsz = [x.shape[0] for x in x_t]
         bh, bl = bsz[0], bsz[1]
         x_t_low, x_hi = x_t[1:], x_t[0]
-        plan = self._pack_plan(x_hi)
+        plan = self._pack_plan(x_hi, packed_io=packed_io)
+        if packed_io:
+            assert plan[0], "packed_io requires a packing stage 0 (packs_input)"
         x = self.forward_input_layer(
             x_hi, normalize=not self.config.skip_normalization,
-            packed=plan[0], train=train,
+            packed=plan[0], train=train, packed_in=packed_io,
         )
         if self.config.nesting:
             x = x + x_feat  # plan[0] is False for nesting shells
@@ -222,7 +226,9 @@ class NestedUNet(UNet):
             x, temb[:bh], cond_hi, cm, skip_activations, train=train,
             plan=plan,
         )
-        x_out = self.forward_output_layer(x, packed=plan[0], train=train)
+        x_out = self.forward_output_layer(
+            x, packed=plan[0], train=train, packed_out=packed_io
+        )
 
         out = [x_out] + x_low if isinstance(x_low, list) else [x_out, x_low]
         if self.config.nesting:

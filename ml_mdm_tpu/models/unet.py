@@ -371,7 +371,7 @@ class UNet(nn.Module):
         cond_emb = self.cond_emb(y)
         return cond_emb, conditioning, cond_mask
 
-    def _pack_plan(self, x_t):
+    def _pack_plan(self, x_t, packed_io: bool = False):
         """Static per-resolution packed-execution plan for one forward.
 
         plan[i] == True means stage i (both its down and up block — they
@@ -382,49 +382,93 @@ class UNet(nn.Module):
         and expect the plain layout. A nesting (inner) UNet keeps stage
         0 unpacked too — its pre-output feature is returned to the outer
         shell. Layout round-trips at stage boundaries were 58% of the
-        1024px forward before this (profiled on v5e, r2)."""
+        1024px forward before this (profiled on v5e, r2).
+
+        packed_io: x_t arrives already space-to-depth packed (the
+        sampler keeps the carry packed across the denoise scan — see
+        packs_input); the plan is computed for the UNPACKED side."""
         if isinstance(x_t, (list, tuple)):
             x_t = x_t[0]
-        side = min(x_t.shape[1], x_t.shape[2])
+        m = 2 if packed_io else 1
+        h, w = x_t.shape[1] * m, x_t.shape[2] * m
+        side = min(h, w)
         n = len(self.down_blocks)
         plan = []
         for i, blk in enumerate(self.down_blocks):
             packed = (
                 not self.is_initializing()
                 and i != n - 1
-                and (x_t.shape[1] >> i) % 2 == 0
-                and (x_t.shape[2] >> i) % 2 == 0
+                and (h >> i) % 2 == 0
+                and (w >> i) % 2 == 0
                 and blk.packs_at(side >> i)
                 and not (i == 0 and self.config.nesting)
             )
             plan.append(packed)
         return plan
 
+    def packs_input(self, side: int) -> bool:
+        """Whether a forward at the given (unpacked) spatial side runs
+        its stage-0 blocks space-to-depth packed (== _pack_plan[0] at
+        runtime; mirrors ResNetBlockStage.packs_at for stage 0, whose
+        down and up blocks share channels/attention). Callers use this
+        to keep the sampling carry packed across denoise steps and pass
+        ``packed_io=True`` — the per-step pack/unpack boundary copies
+        (profiled ~6% of the 1024px sampling step, r3) then happen once
+        per sample instead of once per step."""
+        cfg = self.config
+        n = len(cfg.resolution_channels)
+        n_attn0 = (
+            cfg.num_attention_layers[0] if 0 in cfg.attention_levels else 0
+        )
+        n_tattn0 = (
+            cfg.num_temporal_attention_layers[0]
+            if cfg.num_temporal_attention_layers is not None
+            else 0
+        ) or 0
+        return bool(
+            n > 1
+            and not cfg.nesting
+            and side % 2 == 0
+            and cfg.pack_min_side > 0
+            and side >= cfg.pack_min_side
+            and cfg.resolution_channels[0] <= 32
+            and n_attn0 == 0
+            and n_tattn0 == 0
+            and not cfg.temporal_mode
+        )
+
     def forward_input_layer(self, x_t, normalize=False, packed=False,
-                            train=False):
+                            train=False, packed_in=False):
         if isinstance(x_t, list) and len(x_t) == 1:
             x_t = x_t[0]
         if normalize:
-            # torch .std() is the unbiased estimator -> ddof=1
+            # torch .std() is the unbiased estimator -> ddof=1; the
+            # statistic reduces over ALL non-batch elements so it is
+            # layout-invariant (identical for a packed_in tensor)
             std = jnp.std(
                 x_t.astype(jnp.float32), axis=(1, 2, 3), keepdims=True,
                 ddof=1,
             ).astype(x_t.dtype)
             x_t = x_t / std
         if packed:
-            # pack once at shell entry; conv_in runs full-width on the
+            # pack once at shell entry (or accept an already-packed
+            # carry, see packs_input); conv_in runs full-width on the
             # MXU ((3,3,3,C) -> (3,3,12,4C)) instead of a 3-channel conv
             # at full resolution
             from ml_mdm_tpu.ops import space_to_depth as s2d
 
             p = self.variables["params"]["conv_in"]
+            xp = x_t.astype(self.dtype)
+            if not packed_in:
+                xp = s2d.space_to_depth(xp)
             return s2d.packed_conv(
-                s2d.space_to_depth(x_t.astype(self.dtype)),
-                p["kernel"], p.get("bias"), fast=not train,
+                xp, p["kernel"], p.get("bias"), fast=not train,
             )
+        assert not packed_in, "packed_in requires a packed input layer"
         return self.conv_in(x_t)
 
-    def forward_output_layer(self, x, packed=False, train=False):
+    def forward_output_layer(self, x, packed=False, train=False,
+                             packed_out=False):
         if packed:
             from ml_mdm_tpu.models.layers import group_norm_coeffs
             from ml_mdm_tpu.ops import space_to_depth as s2d
@@ -441,18 +485,19 @@ class UNet(nn.Module):
             mode = fr.fused_mode()
             if mode is not None and not train:
                 # GN-affine + SiLU + conv_out in one Pallas pass
-                return s2d.depth_to_space(fr.affine_silu_conv3x3(
+                y = fr.affine_silu_conv3x3(
                     x,
                     a.reshape(a.shape[0], a.shape[-1]),
                     b.reshape(b.shape[0], b.shape[-1]),
                     s2d.pack_conv3x3_kernel(pc["kernel"]),
                     s2d.pack_channel_vector(pc["bias"]),
                     interpret=mode == "interpret",
-                ))
-            h = jax.nn.silu(x * a.astype(x.dtype) + b.astype(x.dtype))
-            return s2d.depth_to_space(
-                s2d.packed_conv(h, pc["kernel"], pc.get("bias"))
-            )
+                )
+            else:
+                h = jax.nn.silu(x * a.astype(x.dtype) + b.astype(x.dtype))
+                y = s2d.packed_conv(h, pc["kernel"], pc.get("bias"))
+            return y if packed_out else s2d.depth_to_space(y)
+        assert not packed_out, "packed_out requires a packed output layer"
         return self.conv_out(jax.nn.silu(self.norm_out(x)))
 
     def forward_downsample(self, x, temb, conditioning, cond_mask,
@@ -534,6 +579,7 @@ class UNet(nn.Module):
         cond_mask=None,
         micros=None,
         train=False,
+        packed_io=False,
     ):
         micros = micros or {}
         temb = self.create_temporal_embedding(times)
@@ -543,9 +589,14 @@ class UNet(nn.Module):
             temb = temb + self.forward_micro_conditioning(times, micros)
 
         if self.config.nesting:
+            assert not packed_io, "packed_io only applies to the outer shell"
             x_t, x_feat = x_t
-        plan = self._pack_plan(x_t)
-        x = self.forward_input_layer(x_t, packed=plan[0], train=train)
+        plan = self._pack_plan(x_t, packed_io=packed_io)
+        if packed_io:
+            assert plan[0], "packed_io requires a packing stage 0 (packs_input)"
+        x = self.forward_input_layer(
+            x_t, packed=plan[0], train=train, packed_in=packed_io
+        )
         if self.config.nesting:
             x = x + x_feat  # plan[0] is False for nesting UNets
 
@@ -565,7 +616,9 @@ class UNet(nn.Module):
             plan=plan,
         )
 
-        x_out = self.forward_output_layer(x, packed=plan[0], train=train)
+        x_out = self.forward_output_layer(
+            x, packed=plan[0], train=train, packed_out=packed_io
+        )
         if self.config.nesting:
             return x_out, x
         return x_out
@@ -578,6 +631,7 @@ class UNet(nn.Module):
         cond_mask=None,
         micros=None,
         train: bool = False,
+        packed_io: bool = False,
     ):
         # gate matches reference unet.py:979 — cfd>0 alone; outer nested
         # shells (skip_cond_emb=True) still delegate to the innermost's
@@ -589,5 +643,6 @@ class UNet(nn.Module):
         else:
             cond_emb = None
         return self.forward_denoising(
-            x_t, times, cond_emb, conditioning, cond_mask, micros, train=train
+            x_t, times, cond_emb, conditioning, cond_mask, micros,
+            train=train, packed_io=packed_io,
         )

@@ -224,6 +224,27 @@ def _bcast(v: jnp.ndarray) -> jnp.ndarray:
     return v.reshape(v.shape[0], 1, 1, 1)
 
 
+def _pack_hi(x: jnp.ndarray) -> jnp.ndarray:
+    """Space-to-depth pack the (hi-res) sampling carry once at loop entry
+    (see Sampler.sample packed_hi)."""
+    from ml_mdm_tpu.ops.space_to_depth import space_to_depth
+
+    return space_to_depth(x)
+
+
+def _unpack_hi(x: jnp.ndarray) -> jnp.ndarray:
+    from ml_mdm_tpu.ops.space_to_depth import depth_to_space
+
+    return depth_to_space(x)
+
+
+def _unpack_hi_seq(seq: jnp.ndarray) -> jnp.ndarray:
+    """depth_to_space over a (T, B, h, w, 4c) step-stacked trajectory."""
+    t, b = seq.shape[:2]
+    flat = _unpack_hi(seq.reshape((t * b,) + seq.shape[2:]))
+    return flat.reshape((t, b) + flat.shape[1:])
+
+
 class Sampler:
     """Single-resolution diffusion sampler (pure-functional, NHWC).
 
@@ -522,18 +543,28 @@ class Sampler:
         resample_steps: bool = False,
         t_start: int = -1,
         return_sequence: bool = False,
+        packed_hi: bool = False,
     ):
         """Full denoise as a single lax.scan (jit this whole function).
 
         Returns the final image in [-1, 1] (rescaled by rescale_signal and
         clipped, matching the reference ``_postprocess(clip=True)``), or the
         whole trajectory when ``return_sequence``.
+
+        ``packed_hi``: keep the carry space-to-depth packed across the
+        whole scan — ``model_fn`` must then run with ``packed_io=True``
+        (see UNet.packs_input). All per-step sampler math is elementwise
+        / per-image reductions, hence layout-invariant; per-step noise is
+        drawn at the packed shape (iid normal, so statistically identical
+        to the unpacked draw, though not bitwise the same sequence).
         """
         ts = self._timestep_table(num_inference_steps, resample_steps, t_start)
         t_now = jnp.asarray(ts[:-1], dtype=jnp.int32)
         t_nxt = jnp.asarray(ts[1:], dtype=jnp.int32)
         n = len(ts) - 1
         keys = jax.random.split(key, n)
+        if packed_hi:
+            x_t = _pack_hi(x_t)
 
         def body(carry, inp):
             x, = carry
@@ -554,6 +585,10 @@ class Sampler:
             return (x_s,), out
 
         (x_final,), seq = jax.lax.scan(body, (x_t,), (t_now, t_nxt, keys))
+        if packed_hi:
+            x_final = _unpack_hi(x_final)
+            if return_sequence:
+                seq = _unpack_hi_seq(seq)
         x_out = self._postprocess(x_final, clip=True)
         if return_sequence:
             return x_out, self._postprocess(seq)
@@ -574,6 +609,7 @@ class Sampler:
         resample_steps: bool = False,
         t_start: int = -1,
         chunk_steps: int = 50,
+        packed_hi: bool = False,
     ):
         """Denoise in host-driven chunks of ``chunk_steps`` scan steps.
 
@@ -597,7 +633,7 @@ class Sampler:
         chunk_jit = self._chunk_jit()
         n_chunks = max(1, -(-n // max(1, chunk_steps)))
         bounds = np.array_split(np.arange(n), n_chunks)
-        x = x_t
+        x = _pack_hi(x_t) if packed_hi else x_t
         for idx in bounds:
             if len(idx) == 0:
                 continue
@@ -609,6 +645,8 @@ class Sampler:
                 keys[lo:hi],
                 guidance_scale, ddim_eta,
             )
+        if packed_hi:
+            x = _unpack_hi(x)
         return self._postprocess(x, clip=True)
 
     def _chunk_jit(self):
@@ -683,6 +721,7 @@ class Sampler:
         t_start: int = -1,
         params=None,
         model_apply=None,
+        packed_hi: bool = False,
     ):
         """Generator yielding (x0, x_t, (g, g_last)) per step — the streaming
         path for the web demo. Each step is one jitted call, compiled once
@@ -691,7 +730,10 @@ class Sampler:
         Pass (params, model_apply) to keep the weights OUT of the jitted
         program (a closed-over model_fn bakes them in as HLO constants —
         prohibitive on remote-compile TPU setups); model_fn is then only
-        used as the eager fallback signature."""
+        used as the eager fallback signature.
+
+        With ``packed_hi`` the on-device carry stays packed; the yielded
+        previews are unpacked per step (they leave the device anyway)."""
         ts = self._timestep_table(num_inference_steps, resample_steps, t_start)
         if params is not None and model_apply is not None:
             jit_step = self._stream_jit_step()
@@ -706,6 +748,8 @@ class Sampler:
                     guidance_scale, ddim_eta,
                 )
             )
+        if packed_hi:
+            x_t = _pack_hi(x_t)
         for i in range(len(ts) - 1):
             key, sub = jax.random.split(key)
             t, t_last = int(ts[i]), int(ts[i + 1])
@@ -715,9 +759,12 @@ class Sampler:
             g = self.gammas[t]
             g_last = self.gammas[t_last]
             last = i == len(ts) - 2
+            x0_v, x_v = (
+                (_unpack_hi(x0), _unpack_hi(x_t)) if packed_hi else (x0, x_t)
+            )
             yield (
-                self._postprocess(x0),
-                self._postprocess(x_t, clip=last),
+                self._postprocess(x0_v),
+                self._postprocess(x_v, clip=last),
                 (g, g_last),
             )
 
@@ -847,11 +894,16 @@ class NestedSampler(Sampler):
         t_start: int = -1,
         return_sequence: bool = False,
         output_inner: bool = False,
+        packed_hi: bool = False,
     ):
         ts = self._timestep_table(num_inference_steps, resample_steps, t_start)
         t_now = jnp.asarray(ts[:-1], dtype=jnp.int32)
         t_nxt = jnp.asarray(ts[1:], dtype=jnp.int32)
         keys = jax.random.split(key, len(ts) - 1)
+        if packed_hi:
+            # only the outermost (hi-res) carry packs — the low-res
+            # carries are cheap and the inner shells expect plain layout
+            x_t = [_pack_hi(x_t[0])] + list(x_t[1:])
 
         def body(carry, inp):
             xs = carry
@@ -866,6 +918,10 @@ class NestedSampler(Sampler):
         xs_final, seq = jax.lax.scan(
             body, tuple(x_t), (t_now, t_nxt, keys)
         )
+        if packed_hi:
+            xs_final = (_unpack_hi(xs_final[0]),) + tuple(xs_final[1:])
+            if return_sequence:
+                seq = _unpack_hi_seq(seq)
         out = self._postprocess_nested(
             list(xs_final), clip=True, output_inner=output_inner
         )
@@ -911,6 +967,7 @@ class NestedSampler(Sampler):
         t_start: int = -1,
         output_inner: bool = False,
         chunk_steps: int = 50,
+        packed_hi: bool = False,
     ):
         """Nested counterpart of Sampler.sample_chunked: the lockstep
         multi-resolution denoise driven in bounded-duration device chunks
@@ -923,6 +980,8 @@ class NestedSampler(Sampler):
         chunk_jit = self._nested_chunk_jit()
         n_chunks = max(1, -(-n // max(1, chunk_steps)))
         bounds = np.array_split(np.arange(n), n_chunks)
+        if packed_hi:
+            x_t = [_pack_hi(x_t[0])] + list(x_t[1:])
         xs = tuple(x_t)
         for idx in bounds:
             if len(idx) == 0:
@@ -936,6 +995,8 @@ class NestedSampler(Sampler):
                 guidance_scale, ddim_eta, tuple(scales),
             )
             xs = tuple(xs)
+        if packed_hi:
+            xs = (_unpack_hi(xs[0]),) + tuple(xs[1:])
         return self._postprocess_nested(
             list(xs), clip=True, output_inner=output_inner
         )
@@ -1000,6 +1061,7 @@ class NestedSampler(Sampler):
         output_inner: bool = False,
         params=None,
         model_apply=None,
+        packed_hi: bool = False,
     ):
         ts = self._timestep_table(num_inference_steps, resample_steps, t_start)
         if params is not None and model_apply is not None:
@@ -1015,16 +1077,23 @@ class NestedSampler(Sampler):
                     k, guidance_scale, ddim_eta, scales=scales,
                 )
             )
+        if packed_hi:
+            x_t = [_pack_hi(x_t[0])] + list(x_t[1:])
         xs = tuple(x_t)
         for i in range(len(ts) - 1):
             key, sub = jax.random.split(key)
             x0s, xs = step_fn(xs, jnp.int32(int(ts[i])), jnp.int32(int(ts[i + 1])), sub)
             xs = tuple(xs)
             last = i == len(ts) - 2
+            if packed_hi:
+                x0_v = [_unpack_hi(x0s[0])] + list(x0s[1:])
+                x_v = [_unpack_hi(xs[0])] + list(xs[1:])
+            else:
+                x0_v, x_v = list(x0s), list(xs)
             yield (
-                self._postprocess_nested(list(x0s), output_inner=output_inner),
+                self._postprocess_nested(x0_v, output_inner=output_inner),
                 self._postprocess_nested(
-                    list(xs), clip=last, output_inner=output_inner
+                    x_v, clip=last, output_inner=output_inner
                 ),
                 (self.gammas[int(ts[i])], self.gammas[int(ts[i + 1])]),
             )

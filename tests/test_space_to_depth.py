@@ -490,3 +490,211 @@ def test_fused_resnet_train_grads_match_plain_packed(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(v), np.asarray(flat_pl[jax.tree_util.keystr(k)]),
             rtol=3e-4, atol=3e-4, err_msg=jax.tree_util.keystr(k))
+
+
+# ---------------------------------------------------------------------------
+# Packed sampling carry (packed_io): the hi-res carry stays space-to-depth
+# packed across the whole denoise loop; pack/unpack happens once per sample.
+# ---------------------------------------------------------------------------
+
+
+def _mini_nested_pipeline(pack_min_side=16):
+    from ml_mdm_tpu.diffusion import NestedDiffusion, NestedDiffusionConfig
+    from ml_mdm_tpu.models.layers import ResNetConfig
+    from ml_mdm_tpu.models.nested_unet import NestedUNet, NestedUNetConfig
+    from ml_mdm_tpu.models.unet import UNetConfig
+    from ml_mdm_tpu.samplers import SamplerConfig
+
+    inner = dict(
+        resolution_channels=[16, 32],
+        num_resnets_per_resolution=[1, 1],
+        attention_levels=[1],
+        num_attention_layers=[0, 1],
+        conditioning_feature_dim=16,
+        masked_cross_attention=0,
+        skip_mid_blocks=False,
+        skip_cond_emb=False,
+        nesting=True,
+        resnet_config=ResNetConfig(num_groups_norm=4, dropout=0.0,
+                                   use_attention_ffn=False),
+    )
+    outer = dict(
+        resolution_channels=[8, 8, 16],
+        num_resnets_per_resolution=[2, 2, 1],
+        attention_levels=[],
+        num_attention_layers=[0, 0, 0],
+        conditioning_feature_dim=16,
+        num_lm_head_layers=0,
+        masked_cross_attention=0,
+        skip_mid_blocks=True,
+        skip_cond_emb=True,
+        skip_inner_unet_input=False,
+        skip_normalization=True,
+        temporal_dim=64,
+        resnet_config=ResNetConfig(num_groups_norm=4, dropout=0.0,
+                                   use_attention_ffn=False),
+    )
+    mod = NestedUNet(3, 3, NestedUNetConfig(
+        pack_min_side=pack_min_side,
+        inner_config=UNetConfig(pack_min_side=pack_min_side, **inner),
+        **outer))
+    dcfg = NestedDiffusionConfig(
+        sampler_config=SamplerConfig(
+            num_diffusion_steps=8, schedule_shifted=True,
+        ),
+        no_use_residual=True,
+    )
+    return NestedDiffusion(mod, dcfg)
+
+
+def test_packs_input_matches_plan():
+    """packs_input (the host-side gate for keeping the carry packed) must
+    equal the runtime _pack_plan[0] decision."""
+    pipe = _mini_nested_pipeline()
+    mod = pipe.vision_module
+    assert mod.packs_input(32) is True
+    assert mod.packs_input(8) is False    # below pack_min_side
+    assert mod.packs_input(31) is False   # odd side
+
+    # a nesting (inner) shell never packs its input
+    from ml_mdm_tpu.models.unet import UNet, UNetConfig
+
+    m_nest = UNet(3, 3, UNetConfig(
+        resolution_channels=[8, 16],
+        num_resnets_per_resolution=[1, 1],
+        attention_levels=[],
+        num_attention_layers=[0, 0],
+        nesting=True,
+        pack_min_side=16,
+    ))
+    assert m_nest.packs_input(32) is False
+
+    # the real 1024 outer-shell shape: [32, 32, 64] channels, no attention
+
+    cfg = UNetConfig(
+        resolution_channels=[32, 32, 64],
+        num_resnets_per_resolution=[2, 2, 1],
+        attention_levels=[],
+        num_attention_layers=[0, 0, 0],
+        skip_mid_blocks=True,
+        skip_cond_emb=True,
+    )
+    m = UNet(3, 3, cfg)
+    assert m.packs_input(1024) is True
+    assert m.packs_input(256) is False   # below default pack_min_side=512
+
+
+def test_packed_carry_nested_sample_matches():
+    """NestedDiffusion.sample with the packed carry (auto-enabled) ==
+    the same sample with packing forced off (deterministic: ddim_eta=0)."""
+    pipe = _mini_nested_pipeline()
+    assert pipe._packed_io(32) is True
+
+    params = pipe.init_params(jax.random.PRNGKey(0), image_side=32,
+                              lm_dim=16, seq_len=4, batch=1)
+    b = 2
+    lm = jax.random.normal(jax.random.PRNGKey(1), (b, 4, 16))
+    sample = {"lm_outputs": lm, "lm_mask": jnp.ones((b, 4))}
+    key = jax.random.PRNGKey(2)
+
+    out_packed = pipe.sample(
+        params, b, sample, 32, key,
+        num_inference_steps=4, resample_steps=True, ddim_eta=0.0,
+    )
+    pipe_off = _mini_nested_pipeline()
+    pipe_off._packed_io = lambda side: False
+    out_plain = pipe_off.sample(
+        params, b, sample, 32, key,
+        num_inference_steps=4, resample_steps=True, ddim_eta=0.0,
+    )
+    assert out_packed.shape == (b, 32, 32, 3)
+    np.testing.assert_allclose(np.asarray(out_packed),
+                               np.asarray(out_plain),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_packed_carry_nested_chunked_and_stream():
+    """sample_chunked and sample_stream with the packed carry produce the
+    unpacked shapes and match the fused packed sample (same key, eta=0)."""
+    pipe = _mini_nested_pipeline()
+    params = pipe.init_params(jax.random.PRNGKey(0), image_side=32,
+                              lm_dim=16, seq_len=4, batch=1)
+    b = 2
+    lm = jax.random.normal(jax.random.PRNGKey(1), (b, 4, 16))
+    sample = {"lm_outputs": lm, "lm_mask": jnp.ones((b, 4))}
+    key = jax.random.PRNGKey(2)
+
+    ref = pipe.sample(
+        params, b, sample, 32, key,
+        num_inference_steps=4, resample_steps=True, ddim_eta=0.0,
+    )
+    out_c = pipe.sample_chunked(
+        params, b, sample, 32, key,
+        num_inference_steps=4, resample_steps=True, ddim_eta=0.0,
+        chunk_steps=2,
+    )
+    np.testing.assert_allclose(np.asarray(out_c), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    frames = list(pipe.sample_stream(
+        params, b, sample, 32, key,
+        num_inference_steps=4, resample_steps=True, ddim_eta=0.0,
+    ))
+    assert len(frames) == 4
+    for x0, xt, _ in frames:
+        assert x0.shape == (b, 32, 32, 3)
+        assert xt.shape == (b, 32, 32, 3)
+    np.testing.assert_allclose(np.asarray(frames[-1][1]), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_packed_carry_single_res_sample_matches():
+    """Single-res Diffusion with a packing stage-0: packed carry == off."""
+    from ml_mdm_tpu.diffusion import Diffusion, DiffusionConfig
+    from ml_mdm_tpu.models.layers import ResNetConfig
+    from ml_mdm_tpu.models.unet import UNet, UNetConfig
+    from ml_mdm_tpu.samplers import SamplerConfig
+
+    kw = dict(
+        resolution_channels=[8, 16],
+        num_resnets_per_resolution=[2, 1],
+        attention_levels=[],
+        num_attention_layers=[0, 0],
+        conditioning_feature_dim=16,
+        masked_cross_attention=0,
+        skip_mid_blocks=True,
+        skip_cond_emb=False,
+        resnet_config=ResNetConfig(num_groups_norm=4, dropout=0.0,
+                                   use_attention_ffn=False),
+    )
+
+    def make():
+        return Diffusion(
+            UNet(3, 3, UNetConfig(pack_min_side=16, **kw)),
+            DiffusionConfig(
+                sampler_config=SamplerConfig(num_diffusion_steps=8)
+            ),
+        )
+
+    pipe = make()
+    assert pipe._packed_io(16) is True
+    params = pipe.init_params(jax.random.PRNGKey(0), image_side=16,
+                              lm_dim=16, seq_len=4, batch=1)
+    b = 2
+    lm = jax.random.normal(jax.random.PRNGKey(1), (b, 4, 16))
+    sample = {"lm_outputs": lm, "lm_mask": jnp.ones((b, 4))}
+    key = jax.random.PRNGKey(2)
+    out_packed = pipe.sample(
+        params, b, sample, 16, key,
+        num_inference_steps=4, resample_steps=True, ddim_eta=0.0,
+    )
+    pipe_off = make()
+    pipe_off._packed_io = lambda side: False
+    out_plain = pipe_off.sample(
+        params, b, sample, 16, key,
+        num_inference_steps=4, resample_steps=True, ddim_eta=0.0,
+    )
+    assert out_packed.shape == (b, 16, 16, 3)
+    np.testing.assert_allclose(np.asarray(out_packed),
+                               np.asarray(out_plain),
+                               rtol=2e-5, atol=2e-5)
