@@ -118,6 +118,70 @@ def _grid(images: np.ndarray, pad: int = 2) -> np.ndarray:
     return canvas
 
 
+def plot_logsnr(logsnrs, total_steps: int):
+    """Render the per-step logSNR curve to a uint8 RGB image (the demo's
+    'Noise schedule' pane, reference generate_sample.py:81-100). Returns
+    None when matplotlib is unavailable."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return None
+    x = 1 - np.arange(len(logsnrs)) / max(total_steps - 1, 1)
+    fig, ax = plt.subplots(figsize=(5, 3.2), dpi=100)
+    ax.plot(x[: len(logsnrs)], np.asarray(logsnrs))
+    ax.set_xlabel("timesteps")
+    ax.set_ylabel("LogSNR")
+    ax.grid(True)
+    ax.set_xlim(0, 1)
+    ax.set_ylim(-20, 10)
+    ax.invert_xaxis()
+    fig.tight_layout()
+    fig.canvas.draw()
+    img = np.asarray(fig.canvas.buffer_rgba())[..., :3].copy()
+    plt.close(fig)
+    return img
+
+
+def write_animation(frames, path_base: str, fps: int = 16):
+    """Write the diffusion-path animation (reference :276-282 writes an
+    mp4 via imageio). Uses imageio/mp4 when available, else a PIL GIF —
+    dependency-free. Returns the written path or None."""
+    if not frames:
+        return None
+    try:
+        import imageio
+
+        path = path_base + ".mp4"
+        w = imageio.get_writer(path, fps=fps)
+        for f in frames:
+            w.append_data(f)
+        w.close()
+        return path
+    except Exception:
+        # no imageio, or imageio without an ffmpeg backend -> GIF
+        pass
+    try:
+        from PIL import Image
+    except ImportError:
+        return None
+    path = path_base + ".gif"
+    pil = [Image.fromarray(f) for f in frames]
+    pil[0].save(
+        path, save_all=True, append_images=pil[1:],
+        duration=max(1000 // fps, 20), loop=0,
+    )
+    return path
+
+
+def _to_uint8(arr_m1_1: np.ndarray) -> np.ndarray:
+    return np.clip(
+        np.asarray(arr_m1_1, np.float32) * 128.0 + 127.0, 0, 255
+    ).astype(np.uint8)
+
+
 def generate(
     models: Dict[str, Any],
     prompt: str,
@@ -131,6 +195,7 @@ def generate(
     seed: int = 0,
     stream: bool = False,
     output_inner: bool = False,
+    show_xt: bool = False,
 ):
     """Run sampling; yields (grid_image, info) per step when stream else
     returns the final (grid_image, info)."""
@@ -194,7 +259,7 @@ def generate(
                     **kwargs,
                 )
             ):
-                x = np.asarray(x0 if isinstance(x0, jnp.ndarray) else x0)
+                x = x_t if show_xt else x0
                 info = {
                     "step": step_i,
                     "logsnr": float(
@@ -227,16 +292,134 @@ def generate(
     }
 
 
+def run_demo(
+    models: Dict[str, Any],
+    prompt: str,
+    negative_prompt: str = "",
+    style: str = "none",
+    batch_size: int = 4,
+    guidance_scale: float = 7.5,
+    threshold_function: str = "CLIP",
+    num_inference_steps: int = 50,
+    ddim_eta: float = 0.0,
+    seed: int = 0,
+    save_diffusion_path: bool = False,
+    show_diffusion_path: bool = False,
+    show_xt: bool = False,
+    output_inner: bool = False,
+    anim_dir: Optional[str] = None,
+):
+    """Full-featured demo run mirroring the reference generate() generator
+    (generate_sample.py:206-305): yields dict events —
+
+      {"kind": "preview", "image": uint8 HWC, "step", "total", "text"}
+        per denoise step when show_diffusion_path (streamed previews);
+      {"kind": "final", "image", "logsnr_plot": uint8|None,
+       "video_path": str|None, "text", "info"}
+        once at the end (logSNR curve + optional path animation).
+
+    Streaming (per-step jit, compiled once) is engaged only when a
+    per-step artifact is requested; otherwise the one-program compiled
+    sampler runs and only the final event is yielded.
+    """
+    common = dict(
+        negative_prompt=negative_prompt, style=style, batch_size=batch_size,
+        guidance_scale=guidance_scale, threshold_function=threshold_function,
+        num_inference_steps=num_inference_steps, ddim_eta=ddim_eta,
+        seed=seed, output_inner=output_inner,
+    )
+    t0 = time.time()
+    need_stream = save_diffusion_path or show_diffusion_path or show_xt
+    logsnrs = []
+    if need_stream:
+        frames = []
+        grid = None
+        for step_i, (grid, info) in enumerate(
+            generate(models, prompt, stream=True, show_xt=show_xt, **common)
+        ):
+            logsnrs.append(info["logsnr"])
+            if save_diffusion_path:
+                frames.append(_to_uint8(grid))
+            if show_diffusion_path:
+                yield {
+                    "kind": "preview",
+                    "image": _to_uint8(grid),
+                    "step": step_i,
+                    "total": num_inference_steps,
+                    "text": f"Step ({step_i + 1} / {num_inference_steps}) "
+                            f"Time ({time.time() - t0:.4}s)",
+                }
+        video_path = None
+        if save_diffusion_path and frames:
+            import tempfile
+
+            base = os.path.join(
+                anim_dir or tempfile.gettempdir(),
+                f"diffusion_path_{os.getpid()}",
+            )
+            video_path = write_animation(frames, base)
+        final_grid, info = grid, {"steps": num_inference_steps}
+    else:
+        final_grid, info = generate(models, prompt, stream=False, **common)
+        # logSNR curve from the resampled timestep table (no streaming
+        # needed — it is a property of the schedule, not the images)
+        ts = models["pipeline"].sampler._timestep_table(
+            num_inference_steps, True, -1
+        )
+        gam = np.asarray(models["pipeline"].sampler.gammas)
+        for t in ts[:-1]:
+            g = float(gam[int(t)])
+            logsnrs.append(
+                float(np.log(max(g, 1e-8) / max(1 - g, 1e-8)))
+            )
+        video_path = None
+    yield {
+        "kind": "final",
+        "image": _to_uint8(final_grid),
+        "logsnr_plot": plot_logsnr(logsnrs, num_inference_steps),
+        "video_path": video_path,
+        "text": f"Done ({num_inference_steps} steps, "
+                f"{time.time() - t0:.4}s)",
+        "info": info,
+    }
+
+
+def list_demo_choices(args):
+    """Config/checkpoint dropdown sources: YAMLs under --config-dir and
+    .pth/orbax checkpoints under --model-dir (reference hardcodes three
+    of each, generate_sample.py:338-362)."""
+    import glob
+
+    cfg_dir = getattr(args, "config_dir", "configs/models") or "configs/models"
+    mdl_dir = getattr(args, "model_dir", ".") or "."
+    configs = sorted(glob.glob(os.path.join(cfg_dir, "*.yaml")))
+    ckpts = sorted(
+        glob.glob(os.path.join(mdl_dir, "*.pth"))
+        + glob.glob(os.path.join(mdl_dir, "vis_model*"))
+    )
+    cur_cfg = getattr(args, "config_path", None)
+    if cur_cfg and cur_cfg not in configs:
+        configs.insert(0, cur_cfg)
+    cur_ckpt = getattr(args, "model_file", None)
+    if cur_ckpt and cur_ckpt not in ckpts:
+        ckpts.insert(0, cur_ckpt)
+    return configs, [c for c in dict.fromkeys(ckpts) if c]
+
+
 # ---------------------------------------------------------------------------
 # builtin HTTP UI (gradio-free fallback)
 # ---------------------------------------------------------------------------
 
 _PAGE = """<!DOCTYPE html><html><head><title>ml_mdm_tpu demo</title>
-<style>body{font-family:sans-serif;max-width:900px;margin:2em auto}
+<style>body{font-family:sans-serif;max-width:960px;margin:2em auto}
 label{display:block;margin-top:.6em}img{image-rendering:pixelated;
-width:512px;border:1px solid #ccc;margin-top:1em}</style></head><body>
+max-width:512px;border:1px solid #ccc;margin-top:1em}
+.row{display:flex;gap:1em;flex-wrap:wrap}</style></head><body>
 <h2>Matryoshka Diffusion — TPU demo</h2>
 <form id=f>
+<label>Config <select name=config id=cfgsel></select>
+Checkpoint <select name=model_file id=ckptsel><option value="">(random init)
+</option></select></label>
 <label>Prompt <input name=prompt size=60 value="a photo of a dog"></label>
 <label>Negative prompt <input name=negative_prompt size=60></label>
 <label>Guidance <input name=guidance_scale value=7.5 size=6>
@@ -250,26 +433,87 @@ Batch <input name=batch_size value=4 size=4></label>
 Style <select name=style><option>none</option><option>photo</option>
 <option>painting</option><option>sketch</option><option>anime</option>
 </select></label>
+<label><input type=checkbox name=stream value=1 checked>
+Show diffusion progress (streamed previews)
+<input type=checkbox name=show_xt value=1> Show predicted x_t
+<input type=checkbox name=output_inner value=1> Output inner UNet
+<input type=checkbox name=save_path value=1> Diffusion-path animation</label>
 <button type=submit>Generate</button></form>
-<div id=status></div><img id=out>
+<div id=status></div>
+<div class=row><div><h4>Output</h4><img id=out></div>
+<div><h4>Noise schedule (logSNR)</h4><img id=snr style=width:400px></div>
+<div><h4>Diffusion path</h4><img id=vid></div></div>
 <script>
+async function loadChoices(){
+  const j = await (await fetch('/choices')).json();
+  for (const [id, xs] of [['cfgsel', j.configs], ['ckptsel', j.checkpoints]]){
+    const s = document.getElementById(id);
+    for (const x of xs){const o=document.createElement('option');
+      o.value=x;o.innerText=x;s.appendChild(o);}
+  }
+}
+loadChoices();
 document.getElementById('f').onsubmit = async (e) => {
   e.preventDefault();
   const q = new URLSearchParams(new FormData(e.target));
-  document.getElementById('status').innerText = 'sampling...';
-  const r = await fetch('/generate?' + q); const j = await r.json();
-  document.getElementById('out').src = 'data:image/png;base64,' + j.image;
-  document.getElementById('status').innerText =
-      JSON.stringify(j.info);
+  const st = document.getElementById('status');
+  st.innerText = 'sampling...';
+  const r = await fetch('/generate?' + q);
+  if (r.headers.get('Content-Type').startsWith('text/event-stream')) {
+    const rd = r.body.getReader(); const dec = new TextDecoder();
+    let buf = '';
+    for (;;) {
+      const {done, value} = await rd.read(); if (done) break;
+      buf += dec.decode(value, {stream: true});
+      let i;
+      while ((i = buf.indexOf('\\n\\n')) >= 0) {
+        const chunk = buf.slice(0, i); buf = buf.slice(i + 2);
+        if (!chunk.startsWith('data: ')) continue;
+        const j = JSON.parse(chunk.slice(6));
+        if (j.image) document.getElementById('out').src =
+            'data:image/png;base64,' + j.image;
+        if (j.logsnr_plot) document.getElementById('snr').src =
+            'data:image/png;base64,' + j.logsnr_plot;
+        if (j.video) document.getElementById('vid').src =
+            'data:' + j.video_mime + ';base64,' + j.video;
+        st.innerText = j.text || JSON.stringify(j.info || {});
+      }
+    }
+  } else {
+    const j = await r.json();
+    document.getElementById('out').src = 'data:image/png;base64,' + j.image;
+    if (j.logsnr_plot) document.getElementById('snr').src =
+        'data:image/png;base64,' + j.logsnr_plot;
+    st.innerText = JSON.stringify(j.info);
+  }
 };
 </script></body></html>"""
 
 
-def serve_builtin(args):
-    from http.server import BaseHTTPRequestHandler, HTTPServer
+def _png_b64_u8(img_u8: np.ndarray) -> str:
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(img_u8).save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+def make_builtin_server(args, port: Optional[int] = None):
+    """Build (don't run) the stdlib HTTP server — separated from
+    serve_builtin so tests can drive it on an ephemeral port."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
     from urllib.parse import parse_qs, urlparse
 
-    models = setup_models(args)
+    default_models = setup_models(args)
+    default_key = f"{args.config_path}::{getattr(args, 'model_file', '')}"
+    _CACHE[default_key] = default_models
+
+    def models_for(q):
+        cfg = q.get("config", "") or args.config_path
+        ckpt = q.get("model_file", "") or None
+        if cfg == args.config_path and not ckpt:
+            return default_models
+        return get_cached_models(cfg, ckpt)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):
@@ -283,69 +527,192 @@ def serve_builtin(args):
                 self.end_headers()
                 self.wfile.write(_PAGE.encode())
                 return
-            if url.path == "/generate":
-                q = {k: v[0] for k, v in parse_qs(url.query).items()}
-                grid, info = generate(
-                    models,
-                    q.get("prompt", ""),
-                    q.get("negative_prompt", ""),
-                    q.get("style", "none"),
-                    int(q.get("batch_size", 4)),
-                    float(q.get("guidance_scale", 7.5)),
-                    q.get("threshold_function", "CLIP"),
-                    int(q.get("num_inference_steps", 50)),
-                    float(q.get("ddim_eta", 0)),
-                    int(q.get("seed", 0)),
-                )
-                body = json.dumps(
-                    {"image": _to_png_b64(grid), "info": info}
-                ).encode()
+            if url.path == "/choices":
+                configs, ckpts = list_demo_choices(args)
                 self.send_response(200)
                 self.send_header("Content-Type", "application/json")
                 self.end_headers()
-                self.wfile.write(body)
+                self.wfile.write(json.dumps(
+                    {"configs": configs, "checkpoints": ckpts}
+                ).encode())
+                return
+            if url.path == "/generate":
+                q = {k: v[0] for k, v in parse_qs(url.query).items()}
+                try:
+                    self._generate(q)
+                except BrokenPipeError:
+                    pass
                 return
             self.send_response(404)
             self.end_headers()
 
-    server = HTTPServer(("0.0.0.0", args.port), Handler)
-    logging.info(f"builtin demo UI on http://0.0.0.0:{args.port}")
+        def _generate(self, q):
+            models = models_for(q)
+            kw = dict(
+                negative_prompt=q.get("negative_prompt", ""),
+                style=q.get("style", "none"),
+                batch_size=int(q.get("batch_size", 4)),
+                guidance_scale=float(q.get("guidance_scale", 7.5)),
+                threshold_function=q.get("threshold_function", "CLIP"),
+                num_inference_steps=int(q.get("num_inference_steps", 50)),
+                ddim_eta=float(q.get("ddim_eta", 0)),
+                seed=int(q.get("seed", 0)),
+                show_xt=bool(q.get("show_xt")),
+                output_inner=bool(q.get("output_inner")),
+                save_diffusion_path=bool(q.get("save_path")),
+            )
+            prompt = q.get("prompt", "")
+            if not q.get("stream"):
+                events = list(run_demo(models, prompt, **kw))
+                fin = events[-1]
+                body = {
+                    "image": _png_b64_u8(fin["image"]),
+                    "info": fin.get("info", {}),
+                }
+                if fin.get("logsnr_plot") is not None:
+                    body["logsnr_plot"] = _png_b64_u8(fin["logsnr_plot"])
+                raw = json.dumps(body).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(raw)
+                return
+            # Server-sent events: one `data:` frame per preview + a final
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.end_headers()
+            for ev in run_demo(
+                models, prompt, show_diffusion_path=True, **kw
+            ):
+                out = {"kind": ev["kind"], "text": ev.get("text", "")}
+                if ev.get("image") is not None:
+                    out["image"] = _png_b64_u8(ev["image"])
+                if ev["kind"] == "preview":
+                    out["step"] = ev["step"]
+                    out["total"] = ev["total"]
+                else:
+                    out["info"] = ev.get("info", {})
+                    if ev.get("logsnr_plot") is not None:
+                        out["logsnr_plot"] = _png_b64_u8(ev["logsnr_plot"])
+                    vp = ev.get("video_path")
+                    if vp and os.path.exists(vp):
+                        with open(vp, "rb") as f:
+                            out["video"] = base64.b64encode(
+                                f.read()
+                            ).decode()
+                        out["video_mime"] = (
+                            "video/mp4" if vp.endswith(".mp4")
+                            else "image/gif"
+                        )
+                self.wfile.write(
+                    b"data: " + json.dumps(out).encode() + b"\n\n"
+                )
+                self.wfile.flush()
+
+    server = ThreadingHTTPServer(
+        ("0.0.0.0", args.port if port is None else port), Handler
+    )
+    return server
+
+
+def serve_builtin(args):
+    server = make_builtin_server(args)
+    logging.info(f"builtin demo UI on http://0.0.0.0:{server.server_port}")
     server.serve_forever()
 
 
 def serve_gradio(args):
+    """gradio Blocks UI with the reference demo's surface
+    (generate_sample.py:318-560): config/checkpoint dropdowns, streamed
+    per-step previews, logSNR pane, diffusion-path video, show-x_t /
+    output-inner toggles, run/stop buttons."""
     import gradio as gr
 
-    models = setup_models(args)
+    # warm the default model so the first request doesn't pay setup
+    get_cached_models(args.config_path, getattr(args, "model_file", None))
+    configs, ckpts = list_demo_choices(args)
 
-    def run(prompt, negative, style, batch, guidance, thresh, steps, eta,
-            seed):
-        grid, info = generate(
-            models, prompt, negative, style, int(batch), float(guidance),
-            thresh, int(steps), float(eta), int(seed),
-        )
-        return (np.clip(grid, -1, 1) * 128 + 127).astype(np.uint8), str(info)
+    def run(config, ckpt, prompt, negative, style, batch, guidance, thresh,
+            steps, eta, seed, show_path, save_path, show_xt, output_inner):
+        models = get_cached_models(config, ckpt or None)
+        final_img, snr_img, video = None, None, None
+        for ev in run_demo(
+            models, prompt, negative_prompt=negative, style=style,
+            batch_size=int(batch), guidance_scale=float(guidance),
+            threshold_function=thresh, num_inference_steps=int(steps),
+            ddim_eta=float(eta), seed=int(seed),
+            save_diffusion_path=bool(save_path),
+            show_diffusion_path=bool(show_path),
+            show_xt=bool(show_xt), output_inner=bool(output_inner),
+        ):
+            if ev["kind"] == "preview":
+                yield ev["image"], None, ev["text"], None
+            else:
+                final_img = ev["image"]
+                snr_img = ev.get("logsnr_plot")
+                video = ev.get("video_path")
+                yield final_img, snr_img, ev["text"], video
 
-    demo = gr.Interface(
-        fn=run,
-        inputs=[
-            gr.Textbox(label="Prompt"),
-            gr.Textbox(label="Negative prompt"),
-            gr.Dropdown(list(STYLE_TEMPLATES), value="none", label="Style"),
-            gr.Slider(1, 16, value=4, step=1, label="Batch"),
-            gr.Slider(1, 20, value=7.5, label="Guidance"),
-            gr.Dropdown(
+    with gr.Blocks(title="Matryoshka Diffusion — TPU demo") as demo:
+        gr.Markdown("# Matryoshka Diffusion — TPU demo")
+        with gr.Row():
+            config_dd = gr.Dropdown(
+                configs, value=args.config_path, label="Config",
+                allow_custom_value=True,
+            )
+            ckpt_dd = gr.Dropdown(
+                [""] + ckpts, value=getattr(args, "model_file", "") or "",
+                label="Checkpoint", allow_custom_value=True,
+            )
+        with gr.Row():
+            prompt_tb = gr.Textbox(label="Prompt")
+            negative_tb = gr.Textbox(label="Negative prompt")
+        with gr.Row():
+            style_dd = gr.Dropdown(
+                list(STYLE_TEMPLATES), value="none", label="Style"
+            )
+            batch_sl = gr.Slider(1, 128, value=4, step=1, label="Batch")
+            guidance_sl = gr.Slider(0, 50, value=7.5, label="Guidance")
+            thresh_dd = gr.Dropdown(
                 ["CLIP", "DYNAMIC", "DYNAMIC_IF", "NONE"], value="CLIP",
                 label="Threshold",
-            ),
-            gr.Slider(1, 250, value=50, step=1, label="Steps"),
-            gr.Slider(0, 1, value=0.0, label="DDIM eta"),
-            gr.Number(value=0, label="Seed"),
-        ],
-        outputs=[gr.Image(), gr.Textbox(label="Info")],
-        title="Matryoshka Diffusion — TPU demo",
+            )
+        with gr.Row():
+            steps_sl = gr.Slider(1, 1000, value=50, step=1, label="Steps")
+            eta_sl = gr.Slider(0, 1, value=0.0, step=0.05, label="DDIM eta")
+            seed_nb = gr.Number(value=137, label="Seed", precision=0)
+        with gr.Row():
+            show_path_cb = gr.Checkbox(
+                value=False, label="Show diffusion progress"
+            )
+            save_path_cb = gr.Checkbox(
+                value=True, label="Show diffusion path as a video"
+            )
+            show_xt_cb = gr.Checkbox(value=False, label="Show predicted x_t")
+            inner_cb = gr.Checkbox(
+                value=False, label="Output inner UNet (high-res models only)"
+            )
+        run_btn = gr.Button(value="Run", variant="primary")
+        stop_btn = gr.Button(value="Stop", variant="stop")
+        with gr.Row():
+            out_img = gr.Image(label="Output image")
+            out_video = gr.Video(label="Diffusion path")
+        with gr.Row():
+            out_text = gr.Textbox(label="System output")
+            snr_img = gr.Image(label="Noise schedule (logSNR)")
+        run_event = run_btn.click(
+            fn=run,
+            inputs=[config_dd, ckpt_dd, prompt_tb, negative_tb, style_dd,
+                    batch_sl, guidance_sl, thresh_dd, steps_sl, eta_sl,
+                    seed_nb, show_path_cb, save_path_cb, show_xt_cb,
+                    inner_cb],
+            outputs=[out_img, snr_img, out_text, out_video],
+        )
+        stop_btn.click(fn=None, cancels=[run_event], queue=False)
+    demo.queue(default_concurrency_limit=1).launch(
+        server_name="0.0.0.0", server_port=args.port
     )
-    demo.queue().launch(server_name="0.0.0.0", server_port=args.port)
 
 
 def main(args):

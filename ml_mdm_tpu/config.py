@@ -283,6 +283,11 @@ def _add_demo_arguments(p):
     p.add_argument("--sample-dir", type=str, default="samples")
     p.add_argument("--sample-image-size", type=int, default=-1)
     p.add_argument("--port", type=int, default=19231)
+    p.add_argument("--model-file", type=str, default="")
+    # dropdown sources for the served UIs (reference generate_sample.py
+    # :338-362 hardcodes 3 config/checkpoint names; we scan directories)
+    p.add_argument("--config-dir", type=str, default="configs/models")
+    p.add_argument("--model-dir", type=str, default=".")
 
 
 _MODE_EXTRAS = {

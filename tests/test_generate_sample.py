@@ -61,6 +61,92 @@ def test_generate_stream_yields_steps(models):
     assert snrs[-1] > snrs[0]
 
 
+def test_run_demo_events(models):
+    """run_demo yields per-step previews then a final event carrying the
+    logSNR plot and a diffusion-path animation (reference demo surface,
+    generate_sample.py:238-305)."""
+    from ml_mdm_tpu.clis.generate_sample import run_demo
+
+    events = list(
+        run_demo(
+            models, "a cat", batch_size=1, guidance_scale=1.0,
+            num_inference_steps=3, show_diffusion_path=True,
+            save_diffusion_path=True, seed=1,
+        )
+    )
+    kinds = [e["kind"] for e in events]
+    assert kinds == ["preview"] * 3 + ["final"]
+    fin = events[-1]
+    assert fin["image"].dtype == np.uint8
+    assert fin["logsnr_plot"] is not None  # matplotlib present in CI
+    assert fin["video_path"] and os.path.exists(fin["video_path"])
+    os.unlink(fin["video_path"])
+
+
+def test_run_demo_fast_path_has_logsnr(models):
+    """Without any per-step artifact request the compiled one-program
+    sampler runs and the final event still carries the logSNR curve."""
+    from ml_mdm_tpu.clis.generate_sample import run_demo
+
+    events = list(
+        run_demo(models, "a dog", batch_size=1, guidance_scale=1.0,
+                 num_inference_steps=2)
+    )
+    assert [e["kind"] for e in events] == ["final"]
+    assert events[0]["logsnr_plot"] is not None
+    assert events[0]["video_path"] is None
+
+
+def test_builtin_server_sse_stream(models):
+    """Drive the builtin HTTP UI headlessly: the SSE endpoint must emit
+    >1 preview frame then a final image (+ logSNR plot + animation)."""
+    import json
+    import threading
+    import urllib.request
+
+    from ml_mdm_tpu.config import get_arguments
+    from ml_mdm_tpu.clis import generate_sample as gs
+
+    args = get_arguments(args=["--config_path", YAML], mode="demo")
+    args.model_file = ""
+    server = gs.make_builtin_server(args, port=0)
+    port = server.server_port
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        ch = json.loads(
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/choices", timeout=60
+            ).read()
+        )
+        assert any(c.endswith(".yaml") for c in ch["configs"])
+        q = (
+            "prompt=a+cat&batch_size=1&guidance_scale=1.0"
+            "&num_inference_steps=3&stream=1&save_path=1&seed=0"
+        )
+        resp = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/generate?{q}", timeout=600
+        )
+        assert resp.headers["Content-Type"].startswith("text/event-stream")
+        events, buf = [], b""
+        while True:
+            chunk = resp.read(4096)
+            if not chunk:
+                break
+            buf += chunk
+            while b"\n\n" in buf:
+                frame, buf = buf.split(b"\n\n", 1)
+                if frame.startswith(b"data: "):
+                    events.append(json.loads(frame[6:]))
+        kinds = [e["kind"] for e in events]
+        assert kinds.count("preview") >= 2 and kinds[-1] == "final", kinds
+        fin = events[-1]
+        assert len(fin["image"]) > 100
+        assert "logsnr_plot" in fin
+        assert fin.get("video_mime") in ("image/gif", "video/mp4")
+    finally:
+        server.shutdown()
+
+
 def test_style_templates_apply(models):
     from ml_mdm_tpu.clis.generate_sample import STYLE_TEMPLATES
 
