@@ -177,6 +177,13 @@ class NestedUNet(UNet):
         packed_io=False,
     ):
         micros = micros or {}
+        if self.config.interp_conditioning and self.is_initializing():
+            # materialise the state-dict-only interp layers (reference
+            # nested_unet.py:157-159 declares them and never calls them;
+            # Flax only creates params for invoked submodules, so touch
+            # them at init time to keep .pth round-trips exact)
+            d = jnp.zeros((1, self.temporal_dim // 4), self.dtype)
+            self.interp_layer2(self.interp_layer1(d))
         temb = self.create_temporal_embedding(times)
         if cond_emb is not None:
             temb = temb + cond_emb

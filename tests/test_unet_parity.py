@@ -365,3 +365,237 @@ def test_unet_parity_flagship_dimensions():
           for k, v in params_to_torch_state_dict(params).items()}
     missing, unexpected = tm.load_state_dict(sd, strict=True)
     assert missing == [] and unexpected == []
+
+
+# ---------------------------------------------------------------------------
+# Nested parity at the REAL shipped-config dimensions (VERDICT r2 weak #4):
+# the flickr256/flickr1024 .pth load path — real channels/temporal_dim/proj
+# dims through Nested{,2}UNetConfig — at a reduced spatial side.
+# ---------------------------------------------------------------------------
+
+_GN32 = dict(num_channels=-1, output_channels=-1, num_groups_norm=32,
+             dropout=0.0, use_attention_ffn=False)
+
+_INNER64_KW = dict(  # cc12m_64x64 core with nesting on (yaml inner_config)
+    num_resnets_per_resolution=[2, 2, 2],
+    attention_levels=[1, 2],
+    num_attention_layers=[0, 1, 5],
+    conditioning_feature_dim=-1,       # propagated from the outer shell
+    conditioning_feature_proj_dim=2048,
+    num_lm_head_layers=0,
+    masked_cross_attention=0,
+    micro_conditioning="scale:64",
+    nesting=True,
+    skip_mid_blocks=False,
+    skip_cond_emb=False,
+    resolution_channels=[256, 512, 768],
+    resnet_config=dict(_GN32, use_attention_ffn=True),
+)
+
+_SHELL256_KW = dict(  # cc12m_256x256 outer shell (configs/models yaml)
+    num_resnets_per_resolution=[2, 2, 1],
+    attention_levels=[],
+    num_attention_layers=[0, 0, 0],
+    conditioning_feature_proj_dim=-1,
+    num_lm_head_layers=0,
+    masked_cross_attention=1,
+    micro_conditioning="scale:256",
+    nesting=False,
+    skip_mid_blocks=True,
+    skip_cond_emb=True,
+    skip_inner_unet_input=False,
+    skip_normalization=True,
+    temporal_dim=1024,
+    interp_conditioning=False,
+    resolution_channels=[64, 128, 256],
+    resnet_config=dict(_GN32),
+)
+
+_SHELL1024_KW = dict(  # cc12m_1024x1024 outermost shell
+    num_resnets_per_resolution=[2, 2, 1],
+    attention_levels=[],
+    num_attention_layers=[0, 0, 0],
+    conditioning_feature_proj_dim=2048,
+    num_lm_head_layers=0,
+    masked_cross_attention=1,
+    micro_conditioning="scale:1024",
+    nesting=False,
+    skip_mid_blocks=True,
+    skip_cond_emb=True,
+    skip_inner_unet_input=False,
+    skip_normalization=True,
+    temporal_dim=1024,
+    interp_conditioning=False,
+    resolution_channels=[32, 32, 64],
+    resnet_config=dict(_GN32),
+)
+
+
+def _ref_cfg(kw, cls=None, inner=None):
+    d = {
+        k: (r_unet.ResNetConfig(**v) if k == "resnet_config" else v)
+        for k, v in kw.items()
+    }
+    if inner is not None:
+        d["inner_config"] = inner
+    return (cls or r_unet.UNetConfig)(**d)
+
+
+def _nested_parity_case(level_kws, j_cfg, side, b=1, L=8, cdim=2048,
+                        micro_scale=256.0, tol=2e-3):
+    """Build the torch nested model + our Flax module from the same config
+    stack, convert weights, compare forwards, round-trip the state dict."""
+    cfg = _ref_cfg(dict(level_kws[-1]))
+    for kw, cls in zip(
+        reversed(level_kws[:-1]),
+        [r_nested.NestedUNetConfig, r_nested.Nested2UNetConfig,
+         r_nested.Nested3UNetConfig],
+    ):
+        kw = dict(kw)
+        kw.setdefault("conditioning_feature_dim", -1)
+        cfg = _ref_cfg(kw, cls=cls, inner=cfg)
+    cfg.conditioning_feature_dim = cdim
+    tm = r_nested.NestedUNet(3, 3, cfg).eval()
+
+    jm = j_nested.NestedUNet(3, 3, j_cfg)
+    assert list(jm.nest_ratio) == list(tm.nest_ratio), (
+        jm.nest_ratio, tm.nest_ratio
+    )
+
+    # nest_ratio [r0, r1, ...] is each level's downscale vs the LOWEST
+    # resolution: sides are [S, S*r1/r0, ..., S/r0]
+    nr = list(jm.nest_ratio) + [1]
+    sides = [side * r // nr[0] for r in nr]
+    rng = np.random.default_rng(7)
+    xs_np = [
+        rng.standard_normal((b, 3, s, s)).astype(np.float32) for s in sides
+    ]
+    t = rng.integers(0, 1000, size=(b,))
+    lm = rng.standard_normal((b, L, cdim)).astype(np.float32)
+    mask = np.ones((b, L), dtype=np.float32)
+    micros_np = {"scale": np.asarray([micro_scale] * b, np.float32)}
+
+    xs_j = [jnp.asarray(np.transpose(x, (0, 2, 3, 1))) for x in xs_np]
+    template = jax.jit(jm.init)(
+        jax.random.PRNGKey(0), xs_j, jnp.asarray(t), jnp.asarray(lm),
+        jnp.asarray(mask), {k: jnp.asarray(v) for k, v in micros_np.items()},
+    )["params"]
+    params, unmatched, unfilled = torch_state_dict_to_params(
+        tm.state_dict(), template
+    )
+    assert unmatched == [], f"unmatched torch keys: {unmatched[:10]}"
+    assert unfilled == [], f"unfilled flax leaves: {unfilled[:10]}"
+
+    with torch.no_grad():
+        refs = tm(
+            [torch.from_numpy(x) for x in xs_np],
+            torch.from_numpy(t).float(),
+            torch.from_numpy(lm),
+            torch.from_numpy(mask),
+            micros={k: torch.from_numpy(v) for k, v in micros_np.items()},
+        )
+    outs = jm.apply(
+        {"params": params}, xs_j, jnp.asarray(t), jnp.asarray(lm),
+        jnp.asarray(mask), {k: jnp.asarray(v) for k, v in micros_np.items()},
+    )
+    assert len(refs) == len(outs) == len(sides)
+    for i, (r, o) in enumerate(zip(refs, outs)):
+        o = np.transpose(np.asarray(o), (0, 3, 1, 2))
+        np.testing.assert_allclose(
+            o, r.numpy(), rtol=tol, atol=tol,
+            err_msg=f"nested output {i} (side {sides[i]})",
+        )
+
+    # strict .pth round-trip (the exact released-checkpoint load contract)
+    sd = {k: torch.from_numpy(np.asarray(v))
+          for k, v in params_to_torch_state_dict(params).items()}
+    missing, unexpected = tm.load_state_dict(sd, strict=True)
+    assert missing == [] and unexpected == []
+
+
+@pytest.mark.slow
+def test_nested_parity_cc12m_256_dimensions():
+    """cc12m_256x256 (flickr256 architecture): real channels
+    (64/128/256 shell around the 256/512/768 core), temporal_dim 1024,
+    proj 2048, at a reduced spatial side (64 -> 16)."""
+    j_cfg = j_nested.NestedUNetConfig(
+        inner_config=j_unet.UNetConfig(**_INNER64_KW),
+        conditioning_feature_dim=2048,
+        **_SHELL256_KW,
+    )
+    _nested_parity_case(
+        [_SHELL256_KW, _INNER64_KW], j_cfg, side=64, micro_scale=256.0,
+    )
+
+
+@pytest.mark.slow
+def test_nested_parity_cc12m_1024_dimensions():
+    """cc12m_1024x1024 (flickr1024 architecture): nested2 with the real
+    32/32/64 + 64/128/256 + 256/512/768 channel stack, at a reduced
+    spatial side (128 -> 32 -> 8)."""
+    mid = dict(_SHELL256_KW)
+    mid.update(nesting=True, skip_normalization=False,
+               conditioning_feature_proj_dim=2048)
+    j_cfg = j_nested.Nested2UNetConfig(
+        inner_config=j_nested.NestedUNetConfig(
+            inner_config=j_unet.UNetConfig(**_INNER64_KW), **mid
+        ),
+        conditioning_feature_dim=2048,
+        **_SHELL1024_KW,
+    )
+    _nested_parity_case(
+        [_SHELL1024_KW, mid, _INNER64_KW], j_cfg, side=128,
+        micro_scale=1024.0, tol=3e-3,
+    )
+
+
+def test_nested_interp_conditioning_roundtrip():
+    """interp_conditioning=True declares state-dict-only interp_layer1/2
+    (reference nested_unet.py:157-159, present in released checkpoints):
+    they must exist in our template and round-trip strictly."""
+    inner_kw = _small_cfg_kwargs(nesting=True)
+    outer_kw = dict(
+        num_resnets_per_resolution=[1, 1],
+        attention_levels=[],
+        num_attention_layers=[0, 0],
+        conditioning_feature_dim=32,
+        conditioning_feature_proj_dim=-1,
+        num_lm_head_layers=0,
+        masked_cross_attention=1,
+        resolution_channels=[16, 32],
+        skip_mid_blocks=True,
+        skip_cond_emb=True,
+        skip_normalization=False,
+        temporal_dim=128,
+        interp_conditioning=True,
+        resnet_config=dict(
+            num_channels=-1, output_channels=-1, num_groups_norm=8,
+            dropout=0.0, use_attention_ffn=False,
+        ),
+    )
+    r_cfg = _ref_cfg(
+        outer_kw, cls=r_nested.NestedUNetConfig, inner=_ref_cfg(inner_kw)
+    )
+    tm = r_nested.NestedUNet(3, 3, r_cfg).eval()
+    assert any(k.startswith("interp_layer") for k in tm.state_dict())
+
+    j_cfg = j_nested.NestedUNetConfig(
+        inner_config=j_unet.UNetConfig(**inner_kw), **outer_kw
+    )
+    jm = j_nested.NestedUNet(3, 3, j_cfg)
+    b, side = 1, 32
+    xs = [jnp.zeros((b, side, side, 3)),
+          jnp.zeros((b, side // 2, side // 2, 3))]
+    template = jm.init(
+        jax.random.PRNGKey(0), xs, jnp.zeros((b,), jnp.int32),
+        jnp.zeros((b, 5, 32)), jnp.ones((b, 5)), {},
+    )["params"]
+    assert "interp_layer1" in template and "interp_layer2" in template
+    params, unmatched, unfilled = torch_state_dict_to_params(
+        tm.state_dict(), template
+    )
+    assert unmatched == [] and unfilled == [], (unmatched, unfilled)
+    sd = {k: torch.from_numpy(np.asarray(v))
+          for k, v in params_to_torch_state_dict(params).items()}
+    missing, unexpected = tm.load_state_dict(sd, strict=True)
+    assert missing == [] and unexpected == []

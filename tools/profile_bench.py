@@ -90,7 +90,7 @@ def sample1024(batch=4, steps=25):
         return pipeline.sample_chunked(
             p, batch, s, 1024, k,
             num_inference_steps=steps, resample_steps=True, ddim_eta=1.0,
-            chunk_steps=steps,
+            chunk_steps=steps, noise_dtype=jnp.bfloat16,
         )
 
     jax.block_until_ready(run(params, jax.random.PRNGKey(2)))
