@@ -989,13 +989,23 @@ class ResNetBlockStage(nn.Module):
                     )
             self.t_attn = t_attn
         out_ch = self.resnet_configs[-1].output_channels
+        # Temporal mode without spatial_ds resamples across FRAMES, not
+        # space: a 1-D conv over ((b h w), t, c) — reference
+        # unet.py:511-513 (Conv1d) and :563-572 (the rearrange).
+        temporal_1d = self.temporal_mode and not self.temporal_spatial_ds
         if self.downsample_output:
-            self.resample = nn.Conv(
-                out_ch, (3, 3), strides=(2, 2), padding=1, dtype=self.dtype
+            self.resample = (
+                nn.Conv(out_ch, (3,), strides=(2,), padding=1,
+                        dtype=self.dtype)
+                if temporal_1d
+                else nn.Conv(out_ch, (3, 3), strides=(2, 2), padding=1,
+                             dtype=self.dtype)
             )
         elif self.upsample_output:
-            self.resample = nn.Conv(
-                out_ch, (3, 3), padding=1, dtype=self.dtype
+            self.resample = (
+                nn.Conv(out_ch, (3,), padding=1, dtype=self.dtype)
+                if temporal_1d
+                else nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype)
             )
 
     def __call__(
@@ -1061,10 +1071,29 @@ class ResNetBlockStage(nn.Module):
                 s2d.depth_to_space(x) if (packed and not packed_in) else x
             )
         if self.downsample_output or self.upsample_output:
-            # NOTE: temporal 1-D resampling ((b h w) c t) of the reference
-            # applies only in temporal_mode without spatial_ds; 2-D path here.
             fast = not train and _fused_resnet_mode() is not None
-            if packed:
+            if self.temporal_mode and not self.temporal_spatial_ds:
+                # 1-D resampling across frames (reference unet.py:563-572):
+                # (b t) h w c -> (b h w) t c, conv over t, back. Down
+                # halves the frame count; up nearest-doubles then convs.
+                bt, h, w, c = x.shape
+                t = bt // temb.shape[0]
+                b = bt // t
+                y = x.reshape(b, t, h, w, c).transpose(0, 2, 3, 1, 4)
+                y = y.reshape(b * h * w, t, c)
+                if self.upsample_output:
+                    y = jnp.repeat(
+                        y.astype(jnp.float32), 2, axis=1
+                    ).astype(x.dtype)
+                y = self.resample(y)
+                t_new = y.shape[1]
+                x = y.reshape(b, h, w, t_new, c).transpose(0, 3, 1, 2, 4)
+                x = x.reshape(b * t_new, h, w, c)
+                if packed_out:
+                    from ml_mdm_tpu.ops import space_to_depth as s2d
+
+                    x = s2d.space_to_depth(x)
+            elif packed:
                 # resample directly in the packed domain: the stride-2
                 # conv lands on the packed grid; upsample+conv is a 4x
                 # channel repeat + packed conv (exact rewrites)

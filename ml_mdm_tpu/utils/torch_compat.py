@@ -108,6 +108,8 @@ def _adapt_tensor(
     if leaf == "kernel":
         if len(dst_shape) == 4 and s.ndim == 4:
             t = s.transpose(2, 3, 1, 0)  # conv OIHW -> HWIO
+        elif len(dst_shape) == 3 and s.ndim == 3:
+            t = s.transpose(2, 1, 0)  # conv1d OIK -> KIO (temporal resample)
         elif len(dst_shape) == 2 and s.ndim == 4:
             t = s[:, :, 0, 0].transpose(1, 0)  # 1x1 conv -> dense
         elif len(dst_shape) == 2 and s.ndim == 2:
@@ -197,6 +199,8 @@ def params_to_torch_state_dict(params) -> Dict[str, np.ndarray]:
             name = "weight"
             if v.ndim == 4:
                 v = v.transpose(3, 2, 0, 1)
+            elif v.ndim == 3:
+                v = v.transpose(2, 1, 0)  # KIO -> conv1d OIK
             else:
                 v = v.transpose(1, 0)
                 if in_2d_attn and parts[-2] in _ATTN2D_DENSE:
