@@ -474,7 +474,9 @@ class ResNet(nn.Module):
                     # (plain jnp transforms outside the custom_vjp)
                     def fused(name, h, a, b, residual,  # noqa: F811
                               emit_stats=False):
-                        y = fr.affine_silu_conv3x3_vjp(
+                        # stats ride the kernel (cotangents handled by
+                        # the custom_vjp) — no post-hoc jnp.sum re-read
+                        return fr.affine_silu_conv3x3_vjp(
                             h,
                             a.reshape(a.shape[0], a.shape[-1]),
                             b.reshape(b.shape[0], b.shape[-1]),
@@ -483,15 +485,8 @@ class ResNet(nn.Module):
                             residual,
                             True,
                             p_interp,
+                            emit_stats,
                         )
-                        if not emit_stats:
-                            return y
-                        s1 = jnp.sum(y, axis=(1, 2), dtype=jnp.float32)
-                        s2 = jnp.sum(
-                            jnp.square(y.astype(jnp.float32)),
-                            axis=(1, 2), dtype=jnp.float32,
-                        )
-                        return y, s1, s2
 
                 def gn_params(name):  # noqa: F811
                     return rep(p[name]["scale"]), rep(p[name]["bias"])
@@ -581,7 +576,9 @@ class ResNet(nn.Module):
             else:
                 def fused(name, h, a, b, residual,  # noqa: F811
                           emit_stats=False):
-                    y = fr.affine_silu_conv3x3_vjp(
+                    # stats ride the kernel (cotangents handled by the
+                    # custom_vjp) — no post-hoc jnp.sum re-read
+                    return fr.affine_silu_conv3x3_vjp(
                         h,
                         a.reshape(a.shape[0], a.shape[-1]),
                         b.reshape(b.shape[0], b.shape[-1]),
@@ -590,15 +587,8 @@ class ResNet(nn.Module):
                         residual,
                         True,
                         interp,
+                        emit_stats,
                     )
-                    if not emit_stats:
-                        return y
-                    s1 = jnp.sum(y, axis=(1, 2), dtype=jnp.float32)
-                    s2 = jnp.sum(
-                        jnp.square(y.astype(jnp.float32)), axis=(1, 2),
-                        dtype=jnp.float32,
-                    )
-                    return y, s1, s2
 
             def gn_params(name):  # noqa: F811
                 return p[name]["scale"], p[name]["bias"]

@@ -238,16 +238,162 @@ def _kernel(*args, th: int, n_ops: int, apply_silu: bool,
                                    dtype=jnp.float32)
 
 
+def _kernel_pipelined(*args, th: int, n_ops: int, apply_silu: bool,
+                      with_residual: bool, emit_stats: bool,
+                      emit_proj: bool):
+    """Software-pipelined variant: the grid has ONE extra step; step ii
+    activates row block ii into scratch buffer ii%2 (VPU work) while the
+    9 conv taps dot row block ii-1 out of the OTHER buffer (MXU work).
+    The two phases are independent and live in ONE straight-line region
+    (buffer selection by dynamic index, boundaries by mask multiplies,
+    never pl.when), so Mosaic's scheduler co-issues the silu chain with
+    the matmuls. Measured on v5e (512^2 x 128ch): a standalone probe
+    fully hides an independent act behind the dots (1.61 vs 1.61+0.86
+    ms); the same probe with the phases split into pl.when parity
+    branches overlaps NOTHING — predicated regions are scheduling
+    barriers, which is why the first cut of this kernel (two scratch
+    refs + parity branches) measured at serial speed.
+
+    Boundary handling is branch-free: the act of the final (drained)
+    step re-activates the last block into the dead buffer, the dot of
+    step 0 reads uninitialised scratch into output block 0 (rewritten at
+    step 1) and into the stats accumulator (reset via a NaN-safe
+    jnp.where at step 1), and the halo rows are masked by multiply
+    instead of predication.
+
+    Argument layout is the serial kernel's, with one addition: when
+    emit_proj, each operand contributes a 4th block ref ``raw`` — the
+    UN-activated row block ii-1, re-delivered for the 1x1 shortcut dot
+    (the activated scratch holds silu(x*a+b), not x).
+    """
+    idx = 0
+    prevs, curs, nexts, raws = [], [], [], []
+    for _ in range(n_ops):
+        prevs.append(args[idx])
+        curs.append(args[idx + 1])
+        nexts.append(args[idx + 2])
+        idx += 3
+        if emit_proj:
+            raws.append(args[idx])
+            idx += 1
+    a_refs = []
+    b_refs = []
+    for _ in range(n_ops):
+        a_refs.append(args[idx])
+        b_refs.append(args[idx + 1])
+        idx += 2
+    w_refs = args[idx:idx + n_ops]
+    idx += n_ops
+    bias_ref = args[idx]
+    res_ref = args[idx + 1]
+    idx += 2
+    if emit_proj:
+        rk_refs = args[idx:idx + n_ops]
+        rbias_ref = args[idx + n_ops]
+        idx += n_ops + 1
+    out_ref = args[idx]
+    st_ref = args[idx + 1]
+    idx += 2
+    if emit_proj:
+        proj_ref = args[idx]
+        idx += 1
+    # one double-buffered scratch per operand: (2, th+2, w+2, c)
+    s_refs = args[idx:idx + n_ops]
+
+    bi = pl.program_id(0)
+    ii = pl.program_id(1)
+    n_i = pl.num_programs(1) - 1
+    w_len = curs[0].shape[2]
+    first = jnp.logical_and(bi == 0, ii == 0)
+    par = jax.lax.rem(ii, 2)
+
+    @pl.when(first)
+    def _():
+        for s_ref in s_refs:
+            s_ref[:, :, 0, :] = jnp.zeros_like(s_ref[:, :, 0, :])
+            s_ref[:, :, w_len + 1, :] = jnp.zeros_like(s_ref[:, :, 0, :])
+
+    # --- act phase: activate block min(ii, n_i-1) into buffer ``par``
+    # for the NEXT step's dots (dead work at the ii==n_i drain step) ---
+    cdt = s_refs[0].dtype
+    top_mask = (ii > 0).astype(cdt)
+    bot_mask = (ii < n_i - 1).astype(cdt)
+    for k in range(n_ops):
+        a = a_refs[k][bi, :].astype(jnp.float32)
+        b = b_refs[k][bi, :].astype(jnp.float32)
+
+        def act(rows, a=a, b=b):
+            v = rows.astype(jnp.float32) * a + b
+            if apply_silu:
+                v = jax.nn.silu(v)
+            return v.astype(cdt)
+
+        s_ref = s_refs[k]
+        s_ref[par, 1:th + 1, 1:w_len + 1, :] = act(curs[k][0])
+        # halo rows: index maps clamp at the borders; the duplicated
+        # edge rows zero out via the mask multiply (conv padding=1)
+        s_ref[par, 0, 1:w_len + 1, :] = act(prevs[k][0, 0]) * top_mask
+        s_ref[par, th + 1, 1:w_len + 1, :] = act(nexts[k][0, 0]) * bot_mask
+
+    # --- dot phase: output block ii-1 from buffer ``1-par`` (filled by
+    # the previous step; garbage at ii==0, rewritten at ii==1) ---
+    acc = None
+    acc2 = None
+    for k in range(n_ops):
+        for dy in range(3):
+            for dx in range(3):
+                tile = s_refs[k][1 - par, dy:dy + th, dx:dx + w_len, :]
+                part = jax.lax.dot_general(
+                    tile.reshape(th * w_len, tile.shape[-1]),
+                    w_refs[k][dy, dx, :, :],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                acc = part if acc is None else acc + part
+        if emit_proj:
+            raw = raws[k][0]
+            part2 = jax.lax.dot_general(
+                raw.reshape(th * w_len, raw.shape[-1]).astype(cdt),
+                rk_refs[k][:, :],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc2 = part2 if acc2 is None else acc2 + part2
+
+    y = acc.reshape(th, w_len, -1) + bias_ref[0, :].astype(jnp.float32)
+    if with_residual:
+        y = y + res_ref[0].astype(jnp.float32)
+    out_ref[0, :, :, :] = y.astype(out_ref.dtype)
+    if emit_proj:
+        p = acc2.reshape(th, w_len, -1) + rbias_ref[0, :].astype(
+            jnp.float32
+        )
+        proj_ref[0, :, :, :] = p.astype(proj_ref.dtype)
+    if emit_stats:
+        # reset (NaN-safe: step 0 accumulated uninitialised-scratch
+        # garbage) at the first REAL output step of each batch row
+        yb = out_ref[0, :, :, :]
+        s1 = jnp.sum(yb, axis=(0, 1), dtype=jnp.float32)
+        s2 = jnp.sum(yb * yb, axis=(0, 1), dtype=jnp.float32)
+        keep = ii != 1
+        st_ref[0, 0, :] = jnp.where(keep, st_ref[0, 0, :], 0.0) + s1
+        st_ref[0, 1, :] = jnp.where(keep, st_ref[0, 1, :], 0.0) + s2
+
+
+def _pipelined_mode() -> bool:
+    return os.environ.get("ML_MDM_TPU_FUSED_PIPELINED", "1") != "0"
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("apply_silu", "tile_h", "interpret", "emit_stats",
-                     "halo_rows"),
+                     "halo_rows", "pipelined"),
 )
 def affine_silu_conv3x3(x, a, b, w, bias, residual=None, *,
-                        apply_silu: bool = True, tile_h: int = 8,
+                        apply_silu: bool = True, tile_h=None,
                         interpret: bool = False, emit_stats: bool = False,
                         halo_rows: bool = True, proj_kernel=None,
-                        proj_bias=None):
+                        proj_bias=None, pipelined=None):
     """y = conv3x3(silu(x*a+b), w, padding=1) + bias [+ residual].
 
     x: (B, H, W, C); a, b: (B, C) f32; w: (3, 3, C, Cout);
@@ -290,10 +436,32 @@ def affine_silu_conv3x3(x, a, b, w, bias, residual=None, *,
     bsz, h, w_len, _ = x0.shape
     cs = [xi.shape[-1] for xi in xs]
     cout = ws[0].shape[-1]
+    want_pipe = (
+        _pipelined_mode() if pipelined is None else bool(pipelined)
+    )
+    if tile_h is None:
+        # v5e tile sweep: pipelined best at 16 across 256^2-512^2 and
+        # 64-256 channels; the serial kernel was tuned at 8
+        tile_h = 16 if want_pipe else 8
     th = min(tile_h, h)
     while h % th:
         th //= 2
     n_i = h // th
+    # pipelined variant: overlap act (VPU) with the dots (MXU) — only
+    # worth the one-step drain when the grid has a few row blocks
+    if pipelined is None:
+        pipelined = want_pipe and n_i >= 4
+    else:
+        pipelined = want_pipe
+    pipelined = bool(pipelined) and n_i >= 2
+
+    def blk(ii):
+        # row-block index activated at pipeline step ii (clamped drain)
+        return jnp.minimum(ii, n_i - 1) if pipelined else ii
+
+    def out_blk(ii):
+        # row-block index written at pipeline step ii
+        return jnp.maximum(ii - 1, 0) if pipelined else ii
 
     with_residual = residual is not None
     if residual is None:
@@ -302,28 +470,29 @@ def affine_silu_conv3x3(x, a, b, w, bias, residual=None, *,
                                 memory_space=pltpu.VMEM)
     else:
         res_spec = pl.BlockSpec((1, th, w_len, cout),
-                                lambda bi, ii: (bi, ii, 0, 0),
+                                lambda bi, ii: (bi, out_blk(ii), 0, 0),
                                 memory_space=pltpu.VMEM)
 
     in_specs = []
     for c in cs:
         cur_spec = pl.BlockSpec(
             (1, th, w_len, c),
-            lambda bi, ii: (bi, ii, 0, 0),
+            lambda bi, ii: (bi, blk(ii), 0, 0),
             memory_space=pltpu.VMEM,
         )
-        if halo_rows:
+        if halo_rows or pipelined:
             # one-row halo blocks (block shape 1 on the row axis => the
             # block index IS the row index): last row of block ii-1,
             # first of ii+1 — HBM input reads (1 + 2/TH)x instead of 3x
             prev_spec = pl.BlockSpec(
                 (1, 1, w_len, c),
-                lambda bi, ii: (bi, jnp.maximum(ii * th - 1, 0), 0, 0),
+                lambda bi, ii: (bi, jnp.maximum(blk(ii) * th - 1, 0),
+                                0, 0),
                 memory_space=pltpu.VMEM,
             )
             next_spec = pl.BlockSpec(
                 (1, 1, w_len, c),
-                lambda bi, ii: (bi, jnp.minimum((ii + 1) * th, h - 1),
+                lambda bi, ii: (bi, jnp.minimum((blk(ii) + 1) * th, h - 1),
                                 0, 0),
                 memory_space=pltpu.VMEM,
             )
@@ -340,6 +509,14 @@ def affine_silu_conv3x3(x, a, b, w, bias, residual=None, *,
                 memory_space=pltpu.VMEM,
             )
         in_specs.extend([prev_spec, cur_spec, next_spec])
+        if pipelined and emit_proj:
+            # the raw (un-activated) block for the 1x1 shortcut dot runs
+            # one step behind the activation — re-delivered per step
+            in_specs.append(pl.BlockSpec(
+                (1, th, w_len, c),
+                lambda bi, ii: (bi, out_blk(ii), 0, 0),
+                memory_space=pltpu.VMEM,
+            ))
     # a_k, b_k whole-array, then w_k whole-array
     in_specs.extend(
         [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 * n_ops + n_ops)
@@ -351,21 +528,31 @@ def affine_silu_conv3x3(x, a, b, w, bias, residual=None, *,
             [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_ops + 1)
         )
 
-    kernel = functools.partial(
-        _kernel, th=th, n_ops=n_ops, apply_silu=apply_silu,
-        with_residual=with_residual, emit_stats=emit_stats,
-        emit_proj=emit_proj, halo_rows=halo_rows,
-    )
-    scratch_shapes = [
-        pltpu.VMEM((th + 2, w_len + 2, c), x0.dtype) for c in cs
-    ]
+    if pipelined:
+        kernel = functools.partial(
+            _kernel_pipelined, th=th, n_ops=n_ops, apply_silu=apply_silu,
+            with_residual=with_residual, emit_stats=emit_stats,
+            emit_proj=emit_proj,
+        )
+        scratch_shapes = [
+            pltpu.VMEM((2, th + 2, w_len + 2, c), x0.dtype) for c in cs
+        ]
+    else:
+        kernel = functools.partial(
+            _kernel, th=th, n_ops=n_ops, apply_silu=apply_silu,
+            with_residual=with_residual, emit_stats=emit_stats,
+            emit_proj=emit_proj, halo_rows=halo_rows,
+        )
+        scratch_shapes = [
+            pltpu.VMEM((th + 2, w_len + 2, c), x0.dtype) for c in cs
+        ]
     # the stats block revisits (constant index over ii): partial sums
     # accumulate in VMEM and flush to HBM once per batch row
     stat_spec = pl.BlockSpec((1, 8, cout), lambda bi, ii: (bi, 0, 0),
                              memory_space=pltpu.VMEM)
     out_specs = [
         pl.BlockSpec((1, th, w_len, cout),
-                     lambda bi, ii: (bi, ii, 0, 0),
+                     lambda bi, ii: (bi, out_blk(ii), 0, 0),
                      memory_space=pltpu.VMEM),
         stat_spec,
     ]
@@ -377,7 +564,7 @@ def affine_silu_conv3x3(x, a, b, w, bias, residual=None, *,
         cout2 = rks[0].shape[-1]
         out_specs.append(
             pl.BlockSpec((1, th, w_len, cout2),
-                         lambda bi, ii: (bi, ii, 0, 0),
+                         lambda bi, ii: (bi, out_blk(ii), 0, 0),
                          memory_space=pltpu.VMEM)
         )
         out_shape.append(
@@ -387,7 +574,7 @@ def affine_silu_conv3x3(x, a, b, w, bias, residual=None, *,
     c_tot = sum(cs)
     call = pl.pallas_call(
         kernel,
-        grid=(bsz, n_i),
+        grid=(bsz, n_i + 1 if pipelined else n_i),
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
@@ -411,6 +598,8 @@ def affine_silu_conv3x3(x, a, b, w, bias, residual=None, *,
     operands = []
     for xi in xs:
         operands.extend([xi, xi, xi])  # prev/cur/next blocks, same array
+        if pipelined and emit_proj:
+            operands.append(xi)  # raw block for the shortcut dot
     for ai, bi_ in zip(a_s, b_s):
         operands.extend([ai.astype(jnp.float32), bi_.astype(jnp.float32)])
     operands.extend([wi.astype(x0.dtype) for wi in ws])
@@ -450,9 +639,10 @@ def fused_train_mode():
     return "tpu" if jax.default_backend() == "tpu" else None
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
 def affine_silu_conv3x3_vjp(x, a, b, w, bias, residual,
-                            apply_silu=True, interpret=False):
+                            apply_silu=True, interpret=False,
+                            emit_stats=False):
     """Differentiable wrapper of the fused kernel for training paths.
 
     Forward = affine_silu_conv3x3 (Pallas). Backward: the data gradient
@@ -461,23 +651,44 @@ def affine_silu_conv3x3_vjp(x, a, b, w, bias, residual,
     conv-grad; affine/bias gradients are spatial reductions. The silu
     input is recomputed from x (cheap elementwise) — no activation
     stash beyond the primals.
+
+    With ``emit_stats`` the kernel's ride-along per-channel sum /
+    sum-of-squares outputs are returned too (for the consumer
+    GroupNorm), and their cotangents fold into dy in the backward
+    (d s1 = broadcast, d s2 = 2y) — the training path previously
+    re-read the full activation with jnp.sum reductions to get these.
     """
     return affine_silu_conv3x3(
         x, a, b, w, bias, residual,
         apply_silu=apply_silu, interpret=interpret,
+        emit_stats=emit_stats,
     )
 
 
-def _vjp_fwd(x, a, b, w, bias, residual, apply_silu, interpret):
-    y = affine_silu_conv3x3(
+def _vjp_fwd(x, a, b, w, bias, residual, apply_silu, interpret,
+             emit_stats):
+    out = affine_silu_conv3x3(
         x, a, b, w, bias, residual,
         apply_silu=apply_silu, interpret=interpret,
+        emit_stats=emit_stats,
     )
-    return y, (x, a, b, w, residual is not None)
+    # the stashed y for the stats cotangent is the kernel OUTPUT, which
+    # downstream vjps stash as their input anyway — no extra memory
+    y_saved = out[0] if emit_stats else None
+    return out, (x, a, b, w, residual is not None, y_saved)
 
 
-def _vjp_bwd(apply_silu, interpret, saved, dy):
-    x, a, b, w, has_res = saved
+def _vjp_bwd(apply_silu, interpret, emit_stats, saved, g):
+    x, a, b, w, has_res, y_saved = saved
+    if emit_stats:
+        dy, ds1, ds2 = g
+        dy = (
+            dy.astype(jnp.float32)
+            + ds1[:, None, None, :]
+            + 2.0 * y_saved.astype(jnp.float32) * ds2[:, None, None, :]
+        ).astype(dy.dtype)
+    else:
+        dy = g
     f32 = jnp.float32
     # A/B note (v5e, train256): computing this chain in bf16 measured
     # SLOWER than f32 (5.28 vs 5.52 steps/s) — XLA fuses the f32 chain

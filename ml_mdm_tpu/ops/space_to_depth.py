@@ -174,7 +174,12 @@ def packed_upsample_conv(x, kernel, bias=None, in_packed=False,
                          out_packed=False, fast: bool = False):
     """nearest-2x upsample + 3x3 conv, computed packed: x (B,S,S,C) ->
     (B,2S,2S,Cout). The upsampled image packed at the S grid is just a
-    4x channel repeat (all four sub-pixels of a cell equal x[i,j]).
+    4x channel repeat (all four sub-pixels of a cell equal x[i,j]) —
+    and a conv of a channel-REPEATED input equals a conv of the plain
+    input with the kernel pre-summed over the repeat positions
+    (sum_{c4} Wp[c*4+d] xrep[c*4+d] = sum_c (sum_d Wp[c*4+d]) x[c]), so
+    the 4x-wide intermediate never materialises: the repeat broadcast
+    and 4x the conv input reads were ~1ms/step of the 1024px profile.
 
     in_packed: x is (B,S/2,S/2,4C), the packed form of the S-side image.
     out_packed: return (B,S,S,4Cout) (the 2S-side image packed at the S
@@ -182,8 +187,21 @@ def packed_upsample_conv(x, kernel, bias=None, in_packed=False,
     zero extra layout moves."""
     if in_packed:
         x = depth_to_space(x)
-    xp = jnp.repeat(x, 4, axis=-1)  # (B,S,S,4C), order c*4+dd
-    y = packed_conv(xp, kernel, bias, fast=fast)  # (B,S,S,4Cout)
+    pk = pack_conv3x3_kernel(kernel)  # (3,3,4Cin,4Cout)
+    kh, kw, cin4, cout4 = pk.shape
+    pk_fold = pk.reshape(kh, kw, cin4 // 4, 4, cout4).sum(axis=3)
+    pb = None if bias is None else pack_channel_vector(bias)
+    if fast:
+        from ml_mdm_tpu.ops.fused_resnet import conv3x3_fast
+
+        y = conv3x3_fast(x, pk_fold, pb)
+    else:
+        y = jax.lax.conv_general_dilated(
+            x, pk_fold.astype(x.dtype), (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if pb is not None:
+            y = y + pb.astype(y.dtype)
     return y if out_packed else depth_to_space(y)
 
 

@@ -226,16 +226,63 @@ def _bcast(v: jnp.ndarray) -> jnp.ndarray:
 
 def _pack_hi(x: jnp.ndarray) -> jnp.ndarray:
     """Space-to-depth pack the (hi-res) sampling carry once at loop entry
-    (see Sampler.sample packed_hi)."""
+    (see Sampler.sample packed_hi), then FLATTEN the minor dims to
+    (B, H, W*C).
+
+    Why flat: the packed NHWC tensor has a thin trailing dim (e.g. 12
+    channels), and TPU tiled layouts pad the minormost dim to 128 lanes
+    — a (4, 512, 512, 12) bf16 carry occupies 10.7x its logical bytes,
+    so every per-step elementwise pass (noise draw, CFG combine, x0 /
+    clip / renoise chain) pays 10.7x the HBM bandwidth AND 10.7x the
+    VPU work on the dead lanes. Profiled on v5e (r3) this was ~24ms of
+    the 114ms 1024px step. The flat (B, 512, 6144) form tiles with zero
+    padding; the NHWC view is rebuilt only at the model boundary (one
+    relayout copy each way per step, ~1/20 the cost)."""
     from ml_mdm_tpu.ops.space_to_depth import space_to_depth
 
-    return space_to_depth(x)
+    p = space_to_depth(x)
+    b, h, w, c = p.shape
+    assert h == w, "packed_hi carry expects square images"
+    return p.reshape(b, h, w * c)
 
 
 def _unpack_hi(x: jnp.ndarray) -> jnp.ndarray:
     from ml_mdm_tpu.ops.space_to_depth import depth_to_space
 
+    if x.ndim == 3:  # flat (B, H, W*C) carry form, square
+        b, h, wc = x.shape
+        x = x.reshape(b, h, h, wc // h)
     return depth_to_space(x)
+
+
+def _flat_boundary(model_fn):
+    """Wrap a single-image model_fn so it accepts the FLAT (B, H, W*C)
+    carry form: NHWC view in, flat pred out. The reshapes are the only
+    places the padded thin-channel layout materialises (see _pack_hi)."""
+
+    def fn(x, *rest):
+        b, h, wc = x.shape
+        pred = model_fn(x.reshape(b, h, h, wc // h), *rest)
+        return pred.reshape(pred.shape[0], h, wc)
+
+    return fn
+
+
+def _flat_boundary_nested(model_fn):
+    """Nested counterpart of _flat_boundary: entry 0 of the image list
+    carries flat."""
+
+    def fn(xs, *rest):
+        x0 = xs[0]
+        b, h, wc = x0.shape
+        preds = model_fn(
+            [x0.reshape(b, h, h, wc // h)] + list(xs[1:]), *rest
+        )
+        return [
+            preds[0].reshape(preds[0].shape[0], h, wc)
+        ] + list(preds[1:])
+
+    return fn
 
 
 def _unpack_hi_seq(seq: jnp.ndarray) -> jnp.ndarray:
@@ -318,6 +365,8 @@ class Sampler:
         self, x_t, pred, g, prediction_type=None, clip_fn=None, return_eps=True
     ):
         pt = prediction_type or self.config.prediction_type
+        if jnp.ndim(g) > 1:  # broadcast against 3-D (flat) or 4-D carries
+            g = jnp.reshape(g, g.shape[:1] + (1,) * (x_t.ndim - 1))
         # coefficients computed in f32 (gammas are f32), applied in the
         # carry dtype: keeps a bf16 sampling carry bf16 through the
         # whole step instead of promoting every elementwise pass to f32
@@ -392,6 +441,12 @@ class Sampler:
         posterior mean form; 0 => deterministic DDIM; >0 => stochastic DDIM).
         """
         pt = prediction_type or self.config.prediction_type
+        # gammas broadcast as (B, 1, ..., 1) against the carry, whose
+        # rank may be 3 (flat packed form, see _pack_hi) or 4 (NHWC)
+        g = jnp.reshape(g, g.shape[:1] + (1,) * (x_t.ndim - 1))
+        g_last = jnp.reshape(
+            g_last, g_last.shape[:1] + (1,) * (x_t.ndim - 1)
+        )
         # all per-level coefficients in f32, applied in the carry dtype
         # (see get_x0_eps_from_pred)
         cd = x_t.dtype
@@ -505,6 +560,8 @@ class Sampler:
         ddim_eta=None,
     ):
         """One denoise step t -> t_last. t, t_last are traced int arrays ()."""
+        if x_t.ndim == 3:  # flat packed carry (see _pack_hi)
+            model_fn = _flat_boundary(model_fn)
         b = x_t.shape[0]
         tt = jnp.full((b,), t, dtype=jnp.int32)
         ss = jnp.full((b,), t_last, dtype=jnp.int32)
@@ -839,6 +896,8 @@ class NestedSampler(Sampler):
         ddim_eta=None,
         scales: Sequence[float] = (1.0,),
     ):
+        if x_t[0].ndim == 3:  # flat packed hi-res carry (see _pack_hi)
+            model_fn = _flat_boundary_nested(model_fn)
         b = x_t[0].shape[0]
         tt = jnp.full((b,), t, dtype=jnp.int32)
         ss = jnp.full((b,), t_last, dtype=jnp.int32)

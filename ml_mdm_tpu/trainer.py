@@ -63,16 +63,22 @@ class TrainState(struct.PyTreeNode):
 
 
 def make_optimizer(config: TrainerConfig, freeze_mask=None):
+    """Adam/AdamW per the reference recipe (train_parallel.py:120-134).
+
+    Global grad-norm clipping is NOT part of the chain: the train step
+    folds the clip scale and the NaN-skip mask into ONE scalar multiply
+    on the gradients (see make_train_step) — an optax.clip_by_global_norm
+    stage would re-read the full 477M-param gradient tree a second time
+    just to recompute the norm the step already has (~2.4ms/step of pure
+    HBM traffic on v5e at the 256px recipe).
+    """
     schedule = LRScaler(config.lr_scaling_factor).get_lr_schedule(
         config.warmup_steps, config.lr
     )
     if config.use_adamw:
-        opt = optax.adamw(schedule, eps=1e-8, weight_decay=0.0)
+        tx = optax.adamw(schedule, eps=1e-8, weight_decay=0.0)
     else:
-        opt = optax.adam(schedule, eps=1e-8)
-    tx = optax.chain(
-        optax.clip_by_global_norm(config.gradient_clip_norm), opt
-    )
+        tx = optax.adam(schedule, eps=1e-8)
     if freeze_mask is not None:
         tx = optax.multi_transform(
             {"train": tx, "freeze": optax.set_to_zero()},
@@ -175,8 +181,19 @@ def make_train_step(
         grad_norm = optax.global_norm(grads)
         ok = jnp.isfinite(loss) & jnp.isfinite(grad_norm)
 
+        # clip (reference: clip_grad_norm_(2.0), trainer.py:52-56) and
+        # NaN-skip zeroing folded into ONE scalar multiplier — the
+        # multiply fuses into Adam's first read of each gradient, so
+        # the whole tree is touched exactly once here
+        clip = config.gradient_clip_norm
+        if clip and clip > 0:
+            scale = jnp.where(
+                ok, clip / jnp.maximum(grad_norm, clip), 0.0
+            )
+        else:
+            scale = ok.astype(jnp.float32)
         safe_grads = jax.tree_util.tree_map(
-            lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads
+            lambda g: g * scale.astype(g.dtype), grads
         )
         updates, new_opt_state = optimizer.update(
             safe_grads, state.opt_state, state.params

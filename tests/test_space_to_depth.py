@@ -698,3 +698,74 @@ def test_packed_carry_single_res_sample_matches():
     np.testing.assert_allclose(np.asarray(out_packed),
                                np.asarray(out_plain),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_fused_resnet_kernel_pipelined_variants():
+    """The software-pipelined kernel (act/dot overlap via a
+    dynamically-indexed double buffer, ops/fused_resnet.py
+    _kernel_pipelined) matches the pure-XLA reference across the
+    single-op / stats / residual / multi-operand / proj variants and at
+    an odd row-block count (interpret mode)."""
+    from ml_mdm_tpu.ops.fused_resnet import (
+        affine_silu_conv3x3, reference_affine_silu_conv3x3)
+
+    ks = jax.random.split(jax.random.PRNGKey(3), 10)
+    B, H, W, C1, C2, CO, CP = 2, 32, 12, 8, 16, 8, 12
+    x1 = jax.random.normal(ks[0], (B, H, W, C1)) * 0.5
+    x2 = jax.random.normal(ks[1], (B, H, W, C2)) * 0.5
+    a = jax.random.normal(ks[2], (B, C1 + C2)) * 0.2 + 1.0
+    b = jax.random.normal(ks[3], (B, C1 + C2)) * 0.1
+    w = jax.random.normal(ks[4], (3, 3, C1 + C2, CO)) * 0.1
+    bias = jax.random.normal(ks[5], (CO,)) * 0.1
+    res = jax.random.normal(ks[6], (B, H, W, CO))
+    rk = jax.random.normal(ks[7], (C1 + C2, CP)) * 0.1
+    rb = jax.random.normal(ks[8], (CP,)) * 0.1
+
+    a1, b1, w1 = a[:, :C1], b[:, :C1], w[:, :, :C1, :]
+    for r in (None, res):
+        for silu in (True, False):
+            got = affine_silu_conv3x3(
+                x1, a1, b1, w1, bias, r, apply_silu=silu,
+                interpret=True, pipelined=True, tile_h=8)
+            ref = reference_affine_silu_conv3x3(
+                x1, a1, b1, w1, bias, r, apply_silu=silu)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       rtol=2e-5, atol=2e-5)
+
+    # stats ride-along
+    got, s1, s2 = affine_silu_conv3x3(
+        x1, a1, b1, w1, bias, res, interpret=True, pipelined=True,
+        tile_h=8, emit_stats=True)
+    np.testing.assert_allclose(
+        np.asarray(s1),
+        np.asarray(jnp.sum(got, axis=(1, 2), dtype=jnp.float32)),
+        rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(s2),
+        np.asarray(jnp.sum(jnp.square(got.astype(jnp.float32)),
+                           axis=(1, 2))),
+        rtol=1e-5, atol=1e-5)
+
+    # 2-operand skip-concat + 1x1 shortcut projection + stats
+    xc = jnp.concatenate([x1, x2], axis=-1)
+    ref = reference_affine_silu_conv3x3(xc, a, b, w, bias, res)
+    proj_ref = (jnp.einsum("bhwc,cp->bhwp", xc, rk) + rb).astype(xc.dtype)
+    got, s1, s2, proj = affine_silu_conv3x3(
+        (x1, x2), (a[:, :C1], a[:, C1:]), (b[:, :C1], b[:, C1:]),
+        (w[:, :, :C1, :], w[:, :, C1:, :]), bias, res,
+        interpret=True, pipelined=True, tile_h=8, emit_stats=True,
+        proj_kernel=(rk[:C1], rk[C1:]), proj_bias=rb)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(proj), np.asarray(proj_ref),
+                               rtol=2e-5, atol=2e-5)
+
+    # odd n_i (H=40, th=8 -> 5 row blocks), bf16 carry dtype
+    x5 = jnp.tile(x1, (1, 5, 1, 1))[:, :40].astype(jnp.bfloat16)
+    got = affine_silu_conv3x3(
+        x5, a1, b1, w1, bias, None, interpret=True, pipelined=True,
+        tile_h=8)
+    ref = reference_affine_silu_conv3x3(x5, a1, b1, w1, bias, None)
+    np.testing.assert_allclose(
+        np.asarray(got, dtype=np.float32),
+        np.asarray(ref, dtype=np.float32), rtol=2e-2, atol=2e-2)
