@@ -151,6 +151,11 @@ def train_1024(batch: int = 2):
         state, m = step(state, batch_data, jax.random.PRNGKey(2 + i))
     jax.block_until_ready(m)
     dt = (time.perf_counter() - t0) / n
+    # baseline (same methodology as the other rows): fwd is 1020.8
+    # GF/image (XLA cost analysis, bf16), train fwd+bwd ~ 3x fwd =
+    # 3062 GF/image; A100 eager torch at 25% MFU of 312 TF sustains
+    # 78 TF/s => 25.5 img/s. Our remat pass adds ~33% FLOPs on top,
+    # which the ratio deliberately does NOT credit.
     print(
         json.dumps(
             {
@@ -159,6 +164,7 @@ def train_1024(batch: int = 2):
                 "value": round(1.0 / dt, 3),
                 "unit": "steps/sec/chip",
                 "images_per_sec": round(b / dt, 2),
+                "vs_baseline": round((b / dt) / 25.5, 3),
             }
         )
     )
