@@ -1,4 +1,3 @@
-# For licensing see accompanying LICENSE file.
 """Torch parity for the temporal-mode 1-D resample path.
 
 In temporal mode without ``temporal_spatial_ds``, a stage's resample
