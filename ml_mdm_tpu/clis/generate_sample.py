@@ -622,11 +622,16 @@ def serve_builtin(args):
     server.serve_forever()
 
 
-def serve_gradio(args):
-    """gradio Blocks UI with the reference demo's surface
-    (generate_sample.py:318-560): config/checkpoint dropdowns, streamed
-    per-step previews, logSNR pane, diffusion-path video, show-x_t /
-    output-inner toggles, run/stop buttons."""
+def build_gradio_app(args):
+    """Build (but do not launch) the gradio Blocks UI with the reference
+    demo's surface (generate_sample.py:318-560): config/checkpoint
+    dropdowns, streamed per-step previews, logSNR pane, diffusion-path
+    video, show-x_t / output-inner toggles, run/stop buttons.
+
+    Returns (demo, run): the Blocks app and the generator callback wired
+    to the Run button — exposed separately so tests can drive the yield-
+    per-preview protocol (the part gradio is picky about, reference
+    generate_sample.py:318-560) without a server."""
     import gradio as gr
 
     # warm the default model so the first request doesn't pay setup
@@ -710,6 +715,11 @@ def serve_gradio(args):
             outputs=[out_img, snr_img, out_text, out_video],
         )
         stop_btn.click(fn=None, cancels=[run_event], queue=False)
+    return demo, run
+
+
+def serve_gradio(args):
+    demo, _ = build_gradio_app(args)
     demo.queue(default_concurrency_limit=1).launch(
         server_name="0.0.0.0", server_port=args.port
     )

@@ -154,3 +154,32 @@ def test_style_templates_apply(models):
     assert STYLE_TEMPLATES["photo"].format(prompt="x").startswith(
         "a photograph of x"
     )
+
+
+def test_gradio_blocks_app_smoke(models):
+    """Build the real gradio Blocks app and drive its Run callback as a
+    generator: preview tuples stream (image, None, text, None), the
+    final tuple carries image + logSNR plot (reference demo protocol,
+    generate_sample.py:318-560). Dormant where gradio isn't installed —
+    the builtin SSE UI carries the coverage there."""
+    pytest.importorskip("gradio")
+    from ml_mdm_tpu.config import get_arguments
+    from ml_mdm_tpu.clis import generate_sample as gs
+
+    os.chdir(REPO)
+    args = get_arguments(args=["--config_path", YAML], mode="demo")
+    demo, run = gs.build_gradio_app(args)
+    assert demo is not None
+
+    outs = list(run(
+        YAML, "", "a cat", "", "none", 1, 1.0, "CLIP",
+        3, 0.0, 7, True, False, False, False,
+    ))
+    assert len(outs) == 4  # 3 previews + final
+    for img, snr, text, video in outs[:-1]:
+        assert img.dtype == np.uint8 and snr is None
+        assert "Step" in text
+    img, snr, text, video = outs[-1]
+    assert img.dtype == np.uint8
+    assert snr is not None and snr.dtype == np.uint8
+    assert "Done" in text
