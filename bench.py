@@ -36,6 +36,17 @@ A100_TORCH_EST = 4.36   # samples/sec (see derivation above)
 FLOPS_PER_SAMPLE = 358.5e9 * 50  # fwd GF/image x DDIM steps
 PEAK_TFLOPS = {"TPU v5 lite": 197.0, "TPU v5": 459.0}
 
+# Shared baseline methodology for the secondary rows: A100 eager torch
+# at an assumed 25% MFU of the 312 TF bf16 peak sustains 78 TF/s.
+A100_EAGER_TFLOPS = 0.25 * 312.0
+# 1024px train: fwd is 1020.8 GF/image (XLA cost analysis, bf16);
+# fwd+bwd ~ 3x fwd. Our remat adds ~33% FLOPs the ratio does NOT credit.
+A100_TORCH_TRAIN1024_EST = A100_EAGER_TFLOPS * 1e12 / (3 * 1020.8e9)
+# 256px train: fwd+bwd 1496 GF/image (XLA cost analysis, bf16)
+A100_TORCH_TRAIN256_EST = A100_EAGER_TFLOPS * 1e12 / 1496e9
+# 1024px sampling: 1020.8 GF/image x 250 DDIM steps
+A100_TORCH_SAMPLE1024_EST = A100_EAGER_TFLOPS * 1e12 / (1020.8e9 * 250)
+
 
 def train_256(batch: int = 16, remat: bool = False):
     """Secondary benchmark (BASELINE.json: '256px train step/s'): one
@@ -89,8 +100,6 @@ def train_256(batch: int = 16, remat: bool = False):
         state, m = step(state, batch_data, jax.random.PRNGKey(2 + i))
     jax.block_until_ready(m)
     dt = (time.perf_counter() - t0) / n
-    # baseline: 1496 GF/image fwd+bwd (XLA cost analysis) => A100 eager
-    # torch at 25% MFU (78 TF/s) sustains 52.1 images/s
     print(
         json.dumps(
             {
@@ -99,7 +108,7 @@ def train_256(batch: int = 16, remat: bool = False):
                 "value": round(1.0 / dt, 3),
                 "unit": "steps/sec/chip",
                 "images_per_sec": round(b / dt, 2),
-                "vs_baseline": round((b / dt) / 52.1, 3),
+                "vs_baseline": round((b / dt) / A100_TORCH_TRAIN256_EST, 3),
             }
         )
     )
@@ -151,11 +160,6 @@ def train_1024(batch: int = 2):
         state, m = step(state, batch_data, jax.random.PRNGKey(2 + i))
     jax.block_until_ready(m)
     dt = (time.perf_counter() - t0) / n
-    # baseline (same methodology as the other rows): fwd is 1020.8
-    # GF/image (XLA cost analysis, bf16), train fwd+bwd ~ 3x fwd =
-    # 3062 GF/image; A100 eager torch at 25% MFU of 312 TF sustains
-    # 78 TF/s => 25.5 img/s. Our remat pass adds ~33% FLOPs on top,
-    # which the ratio deliberately does NOT credit.
     print(
         json.dumps(
             {
@@ -164,7 +168,9 @@ def train_1024(batch: int = 2):
                 "value": round(1.0 / dt, 3),
                 "unit": "steps/sec/chip",
                 "images_per_sec": round(b / dt, 2),
-                "vs_baseline": round((b / dt) / 25.5, 3),
+                "vs_baseline": round(
+                    (b / dt) / A100_TORCH_TRAIN1024_EST, 3
+                ),
             }
         )
     )
@@ -225,9 +231,6 @@ def sample_1024(batch: int = 4, steps: int = 250):
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / n
     sps = batch / dt
-    # 1020.8 GF/image forward (XLA cost analysis: inner 358.5 + 256/1024
-    # shells), x250 steps => 255 TF/sample; A100 eager torch at 25% MFU
-    # (78 TF/s) = 0.306 samples/s
     print(
         json.dumps(
             {
@@ -235,7 +238,9 @@ def sample_1024(batch: int = 4, steps: int = 250):
                           f"bs{batch}, bf16, eta1)",
                 "value": round(sps, 4),
                 "unit": "samples/sec/chip",
-                "vs_baseline": round(sps / 0.306, 3),
+                "vs_baseline": round(
+                    sps * (steps / 250) / A100_TORCH_SAMPLE1024_EST, 3
+                ),
             }
         )
     )
