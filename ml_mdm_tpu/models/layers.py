@@ -466,6 +466,7 @@ class ResNet(nn.Module):
                             residual,
                             interpret=p_interp,
                             proj_kernel=pk, proj_bias=pb,
+                            packed_struct=True,
                             **kw,
                         )
                 else:
@@ -486,6 +487,7 @@ class ResNet(nn.Module):
                             True,
                             p_interp,
                             emit_stats,
+                            True,  # packed_struct
                         )
 
                 def gn_params(name):  # noqa: F811
@@ -588,6 +590,7 @@ class ResNet(nn.Module):
                         True,
                         interp,
                         emit_stats,
+                        False,  # packed_struct (raw unpacked kernel)
                     )
 
             def gn_params(name):  # noqa: F811

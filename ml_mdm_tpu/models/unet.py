@@ -492,6 +492,7 @@ class UNet(nn.Module):
                     s2d.pack_conv3x3_kernel(pc["kernel"]),
                     s2d.pack_channel_vector(pc["bias"]),
                     interpret=mode == "interpret",
+                    packed_struct=True,
                 )
             else:
                 h = jax.nn.silu(x * a.astype(x.dtype) + b.astype(x.dtype))

@@ -46,7 +46,7 @@ def fused_mode():
     return "tpu" if jax.default_backend() == "tpu" else None
 
 
-def conv3x3_fast(x, w, bias, residual=None):
+def conv3x3_fast(x, w, bias, residual=None, packed_struct=False):
     """Plain 3x3 stride-1 conv via the fused kernel (no affine/silu),
     falling back to XLA when the kernel is disabled on this backend."""
     mode = fused_mode()
@@ -68,12 +68,81 @@ def conv3x3_fast(x, w, bias, residual=None):
     return affine_silu_conv3x3(
         x, ones, zeros, w, bias, residual,
         apply_silu=False, interpret=mode == "interpret",
+        packed_struct=packed_struct,
     )
+
+
+# scratch column frame width. The data columns start at _F so the act
+# phase's scratch STORES are sublane-aligned (a frame of 1 put every
+# store at sublane offset 1 — measured ~0.1-0.25 ms/call of pure VPU
+# rotation work at 512^2x128 on v5e). Only cols _F-1 and w+_F need the
+# zero, but the whole frames are zeroed once per kernel launch anyway.
+_F = 8
+
+
+def _struct_masks(th, w_len, c, dtype=jnp.int32):
+    """Lane-parity masks for the structured packed-tap dots. Packed
+    channel order is c*4 + ei*2 + ej (space_to_depth.py): ei (sub-row)
+    is lane bit 1, ej (sub-col) lane bit 0."""
+    lane_row = jax.lax.broadcasted_iota(dtype, (th, w_len + 2, c), 2)
+    lane_col = jax.lax.broadcasted_iota(dtype, (th, w_len, c), 2)
+    ei_mask = ((lane_row >> 1) & 1) == 1
+    ej_mask = (lane_col & 1) == 1
+    return ei_mask, ej_mask
+
+
+def _struct_dots(s_block, wq, th, w_len, acc):
+    """4 structured dots over a zero-framed activated block.
+
+    A space-to-depth packed 3x3 kernel (space_to_depth.pack_conv3x3_
+    kernel) is 75% structural zeros: tap ky=-1 only maps input sub-row
+    ei=1 to output sub-row di=0, ky=+1 the reverse, and likewise for
+    columns. The three row taps therefore collapse to TWO — the dense
+    centre tap, and a combined boundary tap whose input row is a
+    lane-parity SELECT of the rows above/below (the weights simply add
+    because their nonzero lanes are disjoint) — and the same again for
+    columns: 4 MXU dots instead of 9, all at full 128-lane width.
+    ``wq`` is the (2, 2, C, Cout) pre-combined kernel from
+    _struct_weights; s_block is scratch rows [0, th+2) with the one-row
+    halos at 0 and th+1 and the zero column frame.
+    """
+    c = s_block.shape[-1]
+    ei_mask, ej_mask = _struct_masks(th, w_len, c)
+    buf_a = s_block[1:th + 1, :, :]
+    buf_b = jnp.where(ei_mask, s_block[0:th, :, :],
+                      s_block[2:th + 2, :, :])
+    for widx, buf in ((0, buf_a), (1, buf_b)):
+        xc = buf[:, 1:w_len + 1, :]
+        part = jax.lax.dot_general(
+            xc.reshape(th * w_len, c), wq[widx, 0],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = part if acc is None else acc + part
+        xb = jnp.where(ej_mask, buf[:, 0:w_len, :],
+                       buf[:, 2:w_len + 2, :])
+        acc = acc + jax.lax.dot_general(
+            xb.reshape(th * w_len, c), wq[widx, 1],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    return acc
+
+
+def _struct_weights(wp):
+    """(3, 3, C, Cout) packed kernel -> (2, 2, C, Cout) combined taps
+    for _struct_dots. Exact for kernels from pack_conv3x3_kernel (and
+    their spatial-flip/io-transpose, which preserves the structure)."""
+    return jnp.stack([
+        jnp.stack([wp[1, 1], wp[1, 0] + wp[1, 2]]),
+        jnp.stack([wp[0, 1] + wp[2, 1],
+                   wp[0, 0] + wp[0, 2] + wp[2, 0] + wp[2, 2]]),
+    ])
 
 
 def _kernel(*args, th: int, n_ops: int, apply_silu: bool,
             with_residual: bool, emit_stats: bool, emit_proj: bool,
-            halo_rows: bool = True):
+            halo_rows: bool = True, packed_struct: bool = False):
     """One grid step computes TH output rows of one batch element.
 
     Generalised over N input operands (N=2 executes a skip-concat conv
@@ -104,7 +173,8 @@ def _kernel(*args, th: int, n_ops: int, apply_silu: bool,
           in VMEM; a separate stats pass over the activation never runs)
       proj_ref (emit_proj): (1, TH, W, Cout2)
     Scratch:
-      s_k per op: (TH+2, W+2, Ck) VMEM: silu(x*a+b), zero-framed. Only
+      s_k per op: (TH+2, W+2*_F, Ck) VMEM: silu(x*a+b), data columns at
+          [_F, W+_F) so stores stay sublane-aligned, zero-framed. Only
           the BORDER is zeroed (columns once — scratch persists across
           grid steps — halo rows per step); zeroing the whole block
           each step was pure VPU/VMEM waste.
@@ -164,45 +234,54 @@ def _kernel(*args, th: int, n_ops: int, apply_silu: bool,
         # corner cells of the halo rows stay zero for the same reason)
         @pl.when(first)
         def _(s_ref=s_ref):
-            s_ref[:, 0, :] = jnp.zeros_like(s_ref[:, 0, :])
-            s_ref[:, w_len + 1, :] = jnp.zeros_like(s_ref[:, 0, :])
+            s_ref[:, 0:_F, :] = jnp.zeros_like(s_ref[:, 0:_F, :])
+            s_ref[:, w_len + _F:w_len + 2 * _F, :] = jnp.zeros_like(
+                s_ref[:, 0:_F, :]
+            )
 
-        s_ref[1:th + 1, 1:w_len + 1, :] = act(curs[k][0])
+        s_ref[1:th + 1, _F:w_len + _F, :] = act(curs[k][0])
 
-        zero_row = jnp.zeros_like(s_ref[0, 1:w_len + 1, :])
+        zero_row = jnp.zeros_like(s_ref[0, _F:w_len + _F, :])
 
         @pl.when(i > 0)
         def _(k=k, act=act, s_ref=s_ref):
-            s_ref[0, 1:w_len + 1, :] = act(
+            s_ref[0, _F:w_len + _F, :] = act(
                 prevs[k][0, 0 if halo_rows else th - 1, :, :]
             )
 
         @pl.when(i == 0)
         def _(s_ref=s_ref, zero_row=zero_row):
-            s_ref[0, 1:w_len + 1, :] = zero_row
+            s_ref[0, _F:w_len + _F, :] = zero_row
 
         @pl.when(i < n_i - 1)
         def _(k=k, act=act, s_ref=s_ref):
-            s_ref[th + 1, 1:w_len + 1, :] = act(nexts[k][0, 0, :, :])
+            s_ref[th + 1, _F:w_len + _F, :] = act(nexts[k][0, 0, :, :])
 
         @pl.when(i == n_i - 1)
         def _(s_ref=s_ref, zero_row=zero_row):
-            s_ref[th + 1, 1:w_len + 1, :] = zero_row
+            s_ref[th + 1, _F:w_len + _F, :] = zero_row
 
         # 9 taps as MXU dots; accumulate in registers, one VMEM write.
         # (A/B note: pre-shifting the three dx column windows into
-        # aligned scratch buffers to avoid sublane-offset reads measured
-        # NO change on v5e — Mosaic handles the offset slices well.)
-        for dy in range(3):
-            for dx in range(3):
-                tile = s_ref[dy:dy + th, dx:dx + w_len, :]
-                part = jax.lax.dot_general(
-                    tile.reshape(th * w_len, tile.shape[-1]),
-                    w_refs[k][dy, dx, :, :],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                acc = part if acc is None else acc + part
+        # aligned scratch buffers to avoid sublane-offset READS measured
+        # NO change on v5e — Mosaic handles the offset slices well. The
+        # offset STORES were not free, hence the _F-aligned frame.)
+        if packed_struct:
+            acc = _struct_dots(
+                s_ref[0:th + 2, _F - 1:w_len + _F + 1, :], w_refs[k],
+                th, w_len, acc)
+        else:
+            for dy in range(3):
+                for dx in range(3):
+                    tile = s_ref[dy:dy + th,
+                                 _F - 1 + dx:_F - 1 + dx + w_len, :]
+                    part = jax.lax.dot_general(
+                        tile.reshape(th * w_len, tile.shape[-1]),
+                        w_refs[k][dy, dx, :, :],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    acc = part if acc is None else acc + part
 
         if emit_proj:
             raw = curs[k][0]
@@ -240,7 +319,7 @@ def _kernel(*args, th: int, n_ops: int, apply_silu: bool,
 
 def _kernel_pipelined(*args, th: int, n_ops: int, apply_silu: bool,
                       with_residual: bool, emit_stats: bool,
-                      emit_proj: bool):
+                      emit_proj: bool, packed_struct: bool = False):
     """Software-pipelined variant: the grid has ONE extra step; step ii
     activates row block ii into scratch buffer ii%2 (VPU work) while the
     9 conv taps dot row block ii-1 out of the OTHER buffer (MXU work).
@@ -297,7 +376,7 @@ def _kernel_pipelined(*args, th: int, n_ops: int, apply_silu: bool,
     if emit_proj:
         proj_ref = args[idx]
         idx += 1
-    # one double-buffered scratch per operand: (2, th+2, w+2, c)
+    # one double-buffered scratch per operand: (2, th+2, w+2*_F, c)
     s_refs = args[idx:idx + n_ops]
 
     bi = pl.program_id(0)
@@ -310,8 +389,10 @@ def _kernel_pipelined(*args, th: int, n_ops: int, apply_silu: bool,
     @pl.when(first)
     def _():
         for s_ref in s_refs:
-            s_ref[:, :, 0, :] = jnp.zeros_like(s_ref[:, :, 0, :])
-            s_ref[:, :, w_len + 1, :] = jnp.zeros_like(s_ref[:, :, 0, :])
+            s_ref[:, :, 0:_F, :] = jnp.zeros_like(s_ref[:, :, 0:_F, :])
+            s_ref[:, :, w_len + _F:w_len + 2 * _F, :] = jnp.zeros_like(
+                s_ref[:, :, 0:_F, :]
+            )
 
     # --- act phase: activate block min(ii, n_i-1) into buffer ``par``
     # for the NEXT step's dots (dead work at the ii==n_i drain step) ---
@@ -329,27 +410,35 @@ def _kernel_pipelined(*args, th: int, n_ops: int, apply_silu: bool,
             return v.astype(cdt)
 
         s_ref = s_refs[k]
-        s_ref[par, 1:th + 1, 1:w_len + 1, :] = act(curs[k][0])
+        s_ref[par, 1:th + 1, _F:w_len + _F, :] = act(curs[k][0])
         # halo rows: index maps clamp at the borders; the duplicated
         # edge rows zero out via the mask multiply (conv padding=1)
-        s_ref[par, 0, 1:w_len + 1, :] = act(prevs[k][0, 0]) * top_mask
-        s_ref[par, th + 1, 1:w_len + 1, :] = act(nexts[k][0, 0]) * bot_mask
+        s_ref[par, 0, _F:w_len + _F, :] = act(prevs[k][0, 0]) * top_mask
+        s_ref[par, th + 1, _F:w_len + _F, :] = (
+            act(nexts[k][0, 0]) * bot_mask
+        )
 
     # --- dot phase: output block ii-1 from buffer ``1-par`` (filled by
     # the previous step; garbage at ii==0, rewritten at ii==1) ---
     acc = None
     acc2 = None
     for k in range(n_ops):
-        for dy in range(3):
-            for dx in range(3):
-                tile = s_refs[k][1 - par, dy:dy + th, dx:dx + w_len, :]
-                part = jax.lax.dot_general(
-                    tile.reshape(th * w_len, tile.shape[-1]),
-                    w_refs[k][dy, dx, :, :],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                acc = part if acc is None else acc + part
+        if packed_struct:
+            acc = _struct_dots(
+                s_refs[k][1 - par, :, _F - 1:w_len + _F + 1, :],
+                w_refs[k], th, w_len, acc)
+        else:
+            for dy in range(3):
+                for dx in range(3):
+                    tile = s_refs[k][1 - par, dy:dy + th,
+                                     _F - 1 + dx:_F - 1 + dx + w_len, :]
+                    part = jax.lax.dot_general(
+                        tile.reshape(th * w_len, tile.shape[-1]),
+                        w_refs[k][dy, dx, :, :],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    acc = part if acc is None else acc + part
         if emit_proj:
             raw = raws[k][0]
             part2 = jax.lax.dot_general(
@@ -387,13 +476,14 @@ def _pipelined_mode() -> bool:
 @functools.partial(
     jax.jit,
     static_argnames=("apply_silu", "tile_h", "interpret", "emit_stats",
-                     "halo_rows", "pipelined"),
+                     "halo_rows", "pipelined", "packed_struct"),
 )
 def affine_silu_conv3x3(x, a, b, w, bias, residual=None, *,
                         apply_silu: bool = True, tile_h=None,
                         interpret: bool = False, emit_stats: bool = False,
                         halo_rows: bool = True, proj_kernel=None,
-                        proj_bias=None, pipelined=None):
+                        proj_bias=None, pipelined=None,
+                        packed_struct: bool = False):
     """y = conv3x3(silu(x*a+b), w, padding=1) + bias [+ residual].
 
     x: (B, H, W, C); a, b: (B, C) f32; w: (3, 3, C, Cout);
@@ -410,6 +500,12 @@ def affine_silu_conv3x3(x, a, b, w, bias, residual=None, *,
     proj = concat_k(x_k) @ proj_kernel + proj_bias — the ResNet conv3
     1x1 shortcut (reference unet.py:213-215) computed from the operands
     already in VMEM instead of a separate XLA conv that re-reads them.
+
+    packed_struct: set ONLY when w is a space-to-depth packed kernel
+    (space_to_depth.pack_conv3x3_kernel, c-major lane order) or its
+    flip/io-transpose: exploits the 75% structural zeros by collapsing
+    the 9 taps to 4 full-width dots (see _struct_dots) — 2.25x less
+    MXU work for the SAME result.
 
     Returns (B, H, W, Cout) in x.dtype; with emit_stats additionally
     (s1, s2): (B, Cout) f32 sum / sum-of-squares of the output over the
@@ -532,19 +628,21 @@ def affine_silu_conv3x3(x, a, b, w, bias, residual=None, *,
         kernel = functools.partial(
             _kernel_pipelined, th=th, n_ops=n_ops, apply_silu=apply_silu,
             with_residual=with_residual, emit_stats=emit_stats,
-            emit_proj=emit_proj,
+            emit_proj=emit_proj, packed_struct=packed_struct,
         )
         scratch_shapes = [
-            pltpu.VMEM((2, th + 2, w_len + 2, c), x0.dtype) for c in cs
+            pltpu.VMEM((2, th + 2, w_len + 2 * _F, c), x0.dtype)
+            for c in cs
         ]
     else:
         kernel = functools.partial(
             _kernel, th=th, n_ops=n_ops, apply_silu=apply_silu,
             with_residual=with_residual, emit_stats=emit_stats,
             emit_proj=emit_proj, halo_rows=halo_rows,
+            packed_struct=packed_struct,
         )
         scratch_shapes = [
-            pltpu.VMEM((th + 2, w_len + 2, c), x0.dtype) for c in cs
+            pltpu.VMEM((th + 2, w_len + 2 * _F, c), x0.dtype) for c in cs
         ]
     # the stats block revisits (constant index over ii): partial sums
     # accumulate in VMEM and flush to HBM once per batch row
@@ -581,7 +679,7 @@ def affine_silu_conv3x3(x, a, b, w, bias, residual=None, *,
         scratch_shapes=scratch_shapes,
         cost_estimate=pl.CostEstimate(
             flops=2 * bsz * h * w_len * (
-                9 * c_tot * cout
+                (4 if packed_struct else 9) * c_tot * cout
                 + (c_tot * rks[0].shape[-1] if emit_proj else 0)
             ),
             bytes_accessed=(
@@ -602,6 +700,8 @@ def affine_silu_conv3x3(x, a, b, w, bias, residual=None, *,
             operands.append(xi)  # raw block for the shortcut dot
     for ai, bi_ in zip(a_s, b_s):
         operands.extend([ai.astype(jnp.float32), bi_.astype(jnp.float32)])
+    if packed_struct:
+        ws = tuple(_struct_weights(wi) for wi in ws)
     operands.extend([wi.astype(x0.dtype) for wi in ws])
     if bias is None:
         bias = jnp.zeros((cout,), jnp.float32)
@@ -639,10 +739,10 @@ def fused_train_mode():
     return "tpu" if jax.default_backend() == "tpu" else None
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
 def affine_silu_conv3x3_vjp(x, a, b, w, bias, residual,
                             apply_silu=True, interpret=False,
-                            emit_stats=False):
+                            emit_stats=False, packed_struct=False):
     """Differentiable wrapper of the fused kernel for training paths.
 
     Forward = affine_silu_conv3x3 (Pallas). Backward: the data gradient
@@ -661,16 +761,16 @@ def affine_silu_conv3x3_vjp(x, a, b, w, bias, residual,
     return affine_silu_conv3x3(
         x, a, b, w, bias, residual,
         apply_silu=apply_silu, interpret=interpret,
-        emit_stats=emit_stats,
+        emit_stats=emit_stats, packed_struct=packed_struct,
     )
 
 
 def _vjp_fwd(x, a, b, w, bias, residual, apply_silu, interpret,
-             emit_stats):
+             emit_stats, packed_struct):
     out = affine_silu_conv3x3(
         x, a, b, w, bias, residual,
         apply_silu=apply_silu, interpret=interpret,
-        emit_stats=emit_stats,
+        emit_stats=emit_stats, packed_struct=packed_struct,
     )
     # the stashed y for the stats cotangent is the kernel OUTPUT, which
     # downstream vjps stash as their input anyway — no extra memory
@@ -678,7 +778,7 @@ def _vjp_fwd(x, a, b, w, bias, residual, apply_silu, interpret,
     return out, (x, a, b, w, residual is not None, y_saved)
 
 
-def _vjp_bwd(apply_silu, interpret, emit_stats, saved, g):
+def _vjp_bwd(apply_silu, interpret, emit_stats, packed_struct, saved, g):
     x, a, b, w, has_res, y_saved = saved
     if emit_stats:
         dy, ds1, ds2 = g
@@ -707,7 +807,8 @@ def _vjp_bwd(apply_silu, interpret, emit_stats, saved, g):
         dact = None
 
     # data gradient: conv3x3 of dy with the flipped, channel-transposed
-    # kernel — same Pallas kernel as the forward
+    # kernel — same Pallas kernel as the forward (the flip/io-transpose
+    # of a packed kernel keeps the packed-struct zero pattern)
     wT = jnp.flip(w, axis=(0, 1)).swapaxes(2, 3)
     if interpret or fused_mode() is not None:
         ds = affine_silu_conv3x3(
@@ -716,6 +817,7 @@ def _vjp_bwd(apply_silu, interpret, emit_stats, saved, g):
             jnp.zeros((dy.shape[0], dy.shape[-1]), f32),
             wT, jnp.zeros((w.shape[2],), f32), None,
             apply_silu=False, interpret=interpret,
+            packed_struct=packed_struct,
         )
     else:
         ds = jax.lax.conv_general_dilated(

@@ -120,6 +120,7 @@ def packed_conv(x_packed: jnp.ndarray, kernel: jnp.ndarray,
             return conv3x3_fast(
                 x_packed, pk,
                 None if bias is None else pack_channel_vector(bias),
+                packed_struct=True,
             )
     y = jax.lax.conv_general_dilated(
         x_packed, pk.astype(x_packed.dtype),

@@ -769,3 +769,56 @@ def test_fused_resnet_kernel_pipelined_variants():
     np.testing.assert_allclose(
         np.asarray(got, dtype=np.float32),
         np.asarray(ref, dtype=np.float32), rtol=2e-2, atol=2e-2)
+
+
+def test_fused_resnet_kernel_packed_struct():
+    """packed_struct=True (4 structured dots exploiting the 75%
+    structural zeros of a space-to-depth packed kernel, ops/
+    fused_resnet.py _struct_dots) == the dense 9-tap path == the
+    unpacked conv, across serial/pipelined, multi-operand, stats,
+    residual and proj variants (interpret mode)."""
+    from ml_mdm_tpu.ops import space_to_depth as s2d
+    from ml_mdm_tpu.ops.fused_resnet import affine_silu_conv3x3
+
+    ks = jax.random.split(jax.random.PRNGKey(11), 12)
+    B, H, W, C1, C2, CO = 2, 32, 24, 8, 4, 8
+    # unpacked inputs / kernels; packed channel counts 4*C
+    x1 = jax.random.normal(ks[0], (B, H, W, C1)) * 0.5
+    x2 = jax.random.normal(ks[1], (B, H, W, C2)) * 0.5
+    w1 = jax.random.normal(ks[2], (3, 3, C1, CO)) * 0.1
+    w2 = jax.random.normal(ks[3], (3, 3, C2, CO)) * 0.1
+    a = jax.random.normal(ks[4], (B, 4 * (C1 + C2))) * 0.2 + 1.0
+    b = jax.random.normal(ks[5], (B, 4 * (C1 + C2))) * 0.1
+    bias = jax.random.normal(ks[6], (4 * CO,)) * 0.1
+    res = jax.random.normal(ks[7], (B, H // 2, W // 2, 4 * CO))
+    rk1 = jax.random.normal(ks[8], (4 * C1, 4 * CO)) * 0.1
+    rk2 = jax.random.normal(ks[9], (4 * C2, 4 * CO)) * 0.1
+    rb = jax.random.normal(ks[10], (4 * CO,)) * 0.1
+
+    p1, p2 = s2d.space_to_depth(x1), s2d.space_to_depth(x2)
+    pk1 = s2d.pack_conv3x3_kernel(w1)
+    pk2 = s2d.pack_conv3x3_kernel(w2)
+
+    def both(**kw):
+        outs = []
+        for struct in (False, True):
+            outs.append(affine_silu_conv3x3(
+                interpret=True, packed_struct=struct, **kw))
+        return outs
+
+    for pipe in (False, True):
+        # single operand, no extras
+        dense, struct = both(
+            x=p1, a=a[:, :4 * C1], b=b[:, :4 * C1], w=pk1, bias=bias,
+            pipelined=pipe, tile_h=8)
+        np.testing.assert_allclose(np.asarray(struct), np.asarray(dense),
+                                   rtol=2e-5, atol=2e-5)
+        # 2-operand + stats + residual + proj
+        dense, struct = both(
+            x=(p1, p2), a=(a[:, :4 * C1], a[:, 4 * C1:]),
+            b=(b[:, :4 * C1], b[:, 4 * C1:]), w=(pk1, pk2), bias=bias,
+            residual=res, emit_stats=True, proj_kernel=(rk1, rk2),
+            proj_bias=rb, pipelined=pipe, tile_h=8)
+        for g, d in zip(struct, dense):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(d),
+                                       rtol=2e-5, atol=2e-5)
