@@ -25,6 +25,7 @@ mixed-ratio batches explicitly rejected.
 from __future__ import annotations
 
 import logging
+import os
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional
 
@@ -68,6 +69,43 @@ class Model:
     def input_channels(self):
         return self.vision_module.input_channels
 
+    @staticmethod
+    def _unbundle(params):
+        """Sampling paths may pass {'__params__', '__wcache__'} bundles
+        (precomputed weight transforms — see build_wcache)."""
+        if isinstance(params, dict) and "__wcache__" in params:
+            return params["__params__"], params["__wcache__"]
+        return params, None
+
+    def _variables(self, params):
+        params, wcache = self._unbundle(params)
+        variables = {"params": params}
+        if wcache is not None:
+            variables["wcache"] = wcache
+        return variables
+
+    def build_wcache(self, params, x_t, times, lm_outputs, lm_mask,
+                     micros):
+        """One forward under mutable=['wcache']: the model compute gets
+        dead-code-eliminated by XLA (only the collection is kept), so
+        this reduces to just the packed-weight transforms — computed
+        once per program instead of per denoise step (see
+        models/layers.wcached). Self-jitted (cached on the Model) so
+        eager callers like sample_chunked don't run the builder forward
+        op-by-op. Returns a bundle for the model calls."""
+        jitted = getattr(self, "_build_wcache_jit", None)
+        if jitted is None:
+            def _build(params, x_t, times, lm_outputs, lm_mask, micros):
+                _, vs = self.vision_module.apply(
+                    {"params": params}, x_t, times, lm_outputs, lm_mask,
+                    micros, train=False, mutable=["wcache"],
+                )
+                return vs.get("wcache", {})
+
+            jitted = self._build_wcache_jit = jax.jit(_build)
+        wcache = jitted(params, x_t, times, lm_outputs, lm_mask, micros)
+        return {"__params__": params, "__wcache__": wcache}
+
     def __call__(self, params, x_t, times, lm_outputs, lm_mask, micros,
                  train=False, dropout_rng=None, packed_io=False):
         rngs = (
@@ -77,8 +115,8 @@ class Model:
         )
         kw = {"packed_io": True} if packed_io else {}
         out = self.vision_module.apply(
-            {"params": params}, x_t, times, lm_outputs, lm_mask, micros,
-            train=train, rngs=rngs, **kw,
+            self._variables(params), x_t, times, lm_outputs, lm_mask,
+            micros, train=train, rngs=rngs, **kw,
         )
         if self._output_scale != 0:
             s = self._output_scale
@@ -185,11 +223,32 @@ class Diffusion:
         fn = getattr(self.vision_module, "packs_input", None)
         return bool(fn is not None and fn(image_side))
 
+    def _maybe_wcache(self, params, noise, num_examples, sample, micros,
+                      image_side):
+        """Precompute the packed-weight transforms once per sampling
+        program (Model.build_wcache) and bundle them with the params.
+        Auto-gated to sides where packing can engage; ML_MDM_TPU_WCACHE
+        forces on (1) / off (0). Under an outer jit the builder forward
+        dead-code-eliminates to just the transforms."""
+        v = os.environ.get("ML_MDM_TPU_WCACHE", "auto")
+        if v == "0" or (v != "1" and image_side < 256):
+            return params
+        b = num_examples
+        t0 = jnp.zeros((b,), jnp.int32)
+        return self.model.build_wcache(
+            params, noise, t0,
+            sample["lm_outputs"][:b], sample["lm_mask"][:b],
+            {k: val[:b] for k, val in micros.items()},
+        )
+
     def sample(self, params, num_examples, sample, image_side, key, **kwargs):
         k_noise, k_loop = jax.random.split(key)
         noise = self.get_noise(k_noise, num_examples, image_side)
         micros = self.get_micro_conditioning(sample)
         packed = self._packed_io(image_side)
+        params = self._maybe_wcache(
+            params, noise, num_examples, sample, micros, image_side
+        )
         return self.sampler.sample(
             self.model.fn(params, packed_io=packed),
             noise,
@@ -207,6 +266,9 @@ class Diffusion:
         noise = self.get_noise(k_noise, num_examples, image_side)
         micros = self.get_micro_conditioning(sample)
         packed = self._packed_io(image_side)
+        params = self._maybe_wcache(
+            params, noise, num_examples, sample, micros, image_side
+        )
         return self.sampler.sample_stream(
             self.model.fn(params, packed_io=packed),
             noise,
@@ -230,6 +292,9 @@ class Diffusion:
         )
         micros = self.get_micro_conditioning(sample)
         packed = self._packed_io(image_side)
+        params = self._maybe_wcache(
+            params, noise, num_examples, sample, micros, image_side
+        )
         return self.sampler.sample_chunked(
             params,
             self.model.packed_apply if packed else self.model,
@@ -254,6 +319,9 @@ class Diffusion:
         )
         micros = self.get_micro_conditioning(sample)
         packed = self._packed_io(images.shape[1])
+        params = self._maybe_wcache(
+            params, x_t, images.shape[0], sample, micros, images.shape[1]
+        )
         return self.sampler.sample(
             self.model.fn(params, packed_io=packed),
             x_t,
@@ -332,8 +400,8 @@ class NestedModel(Model):
         )
         kw = {"packed_io": True} if packed_io else {}
         p_t = self.vision_module.apply(
-            {"params": params}, x_t, times, lm_outputs, lm_mask, micros,
-            train=train, rngs=rngs, **kw,
+            self._variables(params), x_t, times, lm_outputs, lm_mask,
+            micros, train=train, rngs=rngs, **kw,
         )
         if self._output_scale != 0:
             s = self._output_scale
@@ -520,6 +588,9 @@ class NestedDiffusion(Diffusion):
         noise = self.get_noise(k_noise, num_examples, image_side)
         micros = self.get_micro_conditioning(sample)
         packed = self._packed_io(image_side)
+        params = self._maybe_wcache(
+            params, noise, num_examples, sample, micros, image_side
+        )
         return self.sampler.sample(
             self.model.fn(params, packed_io=packed),
             noise,
@@ -538,6 +609,9 @@ class NestedDiffusion(Diffusion):
         noise = self.get_noise(k_noise, num_examples, image_side)
         micros = self.get_micro_conditioning(sample)
         packed = self._packed_io(image_side)
+        params = self._maybe_wcache(
+            params, noise, num_examples, sample, micros, image_side
+        )
         return self.sampler.sample_stream(
             self.model.fn(params, packed_io=packed),
             noise,
@@ -560,6 +634,9 @@ class NestedDiffusion(Diffusion):
         )
         micros = self.get_micro_conditioning(sample)
         packed = self._packed_io(image_side)
+        params = self._maybe_wcache(
+            params, noise, num_examples, sample, micros, image_side
+        )
         return self.sampler.sample_chunked(
             params,
             self.model.packed_apply if packed else self.model,

@@ -57,6 +57,25 @@ def _channel_offsets(cs):
     return offs
 
 
+def wcached(mod, key: str, fn):
+    """Read-through cache for packed-weight transforms ('wcache'
+    collection). Inside a jitted denoise scan XLA re-materialises the
+    space-to-depth kernel transforms EVERY step (profiled r4 at 1024px:
+    ~5 ms/step of reshape/copy once the 64ch stages packed). Samplers
+    build the collection once per program via Model.build_wcache — a
+    pre-scan forward under mutable=['wcache'] whose model compute XLA
+    dead-code-eliminates, leaving only the transforms — and pass it
+    back in, so in-scan applies just read the cached tensors. Uncached
+    callers (training, standalone evals) compute inline: identical
+    values either way."""
+    if mod.has_variable("wcache", key):
+        return mod.get_variable("wcache", key)
+    val = fn()
+    if not mod.is_initializing() and mod.is_mutable_collection("wcache"):
+        mod.put_variable("wcache", key, val)
+    return val
+
+
 @dataclass
 class ResNetConfig:
     """Mirrors reference ResNetConfig (unet.py:44-59)."""
@@ -422,20 +441,30 @@ class ResNet(nn.Module):
                               proj=None, **kw):
                         a = a.reshape(a.shape[0], a.shape[-1])
                         b = b.reshape(b.shape[0], b.shape[-1])
-                        k = p[name]["kernel"]
                         pk = pb = None
                         if isinstance(h, tuple):
                             # channel-major packing: pack(concat) ==
                             # concat(pack), so slicing the UNPACKED
                             # kernel at the operand boundary and packing
-                            # each slice is exact
+                            # each slice is exact. Kernel transforms
+                            # (pack + struct-combine) go through wcached
+                            # so the denoise scan reads them precomputed.
                             offs = _channel_offsets(
                                 [hi.shape[-1] // 4 for hi in h]
                             )
-                            k = tuple(
-                                s2d.pack_conv3x3_kernel(k[:, :, lo:hi, :])
-                                for lo, hi in zip(offs, offs[1:])
-                            )
+
+                            def mk_k(name=name, offs=offs):
+                                kk = p[name]["kernel"]
+                                return tuple(
+                                    fr._struct_weights(
+                                        s2d.pack_conv3x3_kernel(
+                                            kk[:, :, lo:hi, :]
+                                        )
+                                    )
+                                    for lo, hi in zip(offs, offs[1:])
+                                )
+
+                            k = wcached(self, f"{name}_ps", mk_k)
                             a = tuple(
                                 a[:, 4 * lo:4 * hi]
                                 for lo, hi in zip(offs, offs[1:])
@@ -445,19 +474,33 @@ class ResNet(nn.Module):
                                 for lo, hi in zip(offs, offs[1:])
                             )
                             if proj is not None:
-                                kp = p[proj]["kernel"]
-                                pk = tuple(
-                                    s2d.pack_conv1x1_kernel(
-                                        kp[:, :, lo:hi, :]
-                                    )[0, 0]
-                                    for lo, hi in zip(offs, offs[1:])
-                                )
+                                def mk_pk(proj=proj, offs=offs):
+                                    kp = p[proj]["kernel"]
+                                    return tuple(
+                                        s2d.pack_conv1x1_kernel(
+                                            kp[:, :, lo:hi, :]
+                                        )[0, 0]
+                                        for lo, hi in zip(offs, offs[1:])
+                                    )
+
+                                pk = wcached(self, f"{name}_pj", mk_pk)
                         else:
-                            k = s2d.pack_conv3x3_kernel(k)
+                            k = wcached(
+                                self, f"{name}_ps",
+                                lambda name=name: fr._struct_weights(
+                                    s2d.pack_conv3x3_kernel(
+                                        p[name]["kernel"]
+                                    )
+                                ),
+                            )
                             if proj is not None:
-                                pk = s2d.pack_conv1x1_kernel(
-                                    p[proj]["kernel"]
-                                )[0, 0]
+                                pk = wcached(
+                                    self, f"{name}_pj",
+                                    lambda proj=proj:
+                                        s2d.pack_conv1x1_kernel(
+                                            p[proj]["kernel"]
+                                        )[0, 0],
+                                )
                         if proj is not None:
                             pb = rep(p[proj].get("bias"))
                         return fr.affine_silu_conv3x3(
@@ -919,16 +962,29 @@ class ResNetBlockStage(nn.Module):
     def packs_at(self, side: int) -> bool:
         """Whether this stage executes space-to-depth packed at the given
         (unpacked) spatial side. Packing quadruples nominal FLOPs but
-        removes lane padding, so it only wins when channels pad the
-        128-lane MXU >= 4x, i.e. C <= 32 (measured on v5e: 32ch stages
-        1.4x faster packed, 64ch stages slower)."""
+        removes lane padding and enables the structured-tap kernel
+        (fused_resnet._struct_dots, 4 dots instead of 9 — net 1.78x the
+        unpacked FLOPs at full MXU width). C <= 32 stages pack from
+        pack_min_side (r2: 1.4x faster); C <= 64 stages pack from
+        ML_MDM_TPU_PACK64_MIN_SIDE (default 256 — r2 measured 64ch
+        packing slower under the dense 9-tap kernel, r4's structured
+        taps flipped that; ML_MDM_TPU_PACK_MAX_CH=32 restores the old
+        gate)."""
+        max_ch = max(
+            (rc.output_channels for rc in self.resnet_configs), default=0
+        )
+        if max_ch <= 32:
+            min_side = self.pack_min_side
+        elif max_ch <= int(os.environ.get("ML_MDM_TPU_PACK_MAX_CH", "64")):
+            min_side = int(
+                os.environ.get("ML_MDM_TPU_PACK64_MIN_SIDE", "256")
+            )
+        else:
+            return False
         return (
             self.pack_min_side > 0
-            and side >= self.pack_min_side
+            and side >= min_side
             and side % 2 == 0
-            and all(
-                rc.output_channels <= 32 for rc in self.resnet_configs
-            )
             and self.num_attention_layers == 0
             and not (
                 self.num_temporal_attention_layers
@@ -1089,21 +1145,38 @@ class ResNetBlockStage(nn.Module):
             elif packed:
                 # resample directly in the packed domain: the stride-2
                 # conv lands on the packed grid; upsample+conv is a 4x
-                # channel repeat + packed conv (exact rewrites)
+                # channel repeat + packed conv (exact rewrites). Kernel
+                # transforms ride wcached (hoisted out of denoise scans).
                 p = self.variables["params"]["resample"]
                 if self.downsample_output:
                     if packed_out:
                         x = s2d.packed_strided_conv_p2p(
-                            x, p["kernel"], p.get("bias")
+                            x, p["kernel"], p.get("bias"),
+                            pk=wcached(
+                                self, "resample_p2p",
+                                lambda: s2d.pack_strided_conv_kernel_p2p(
+                                    p["kernel"]
+                                ),
+                            ),
                         )
                     else:
                         x = s2d.packed_strided_conv(
-                            x, p["kernel"], p.get("bias")
+                            x, p["kernel"], p.get("bias"),
+                            pk=wcached(
+                                self, "resample_pk",
+                                lambda: s2d.pack_strided_conv_kernel(
+                                    p["kernel"]
+                                ),
+                            ),
                         )
                 else:
                     x = s2d.packed_upsample_conv(
                         x, p["kernel"], p.get("bias"),
                         in_packed=True, out_packed=packed_out, fast=fast,
+                        pk_fold=wcached(
+                            self, "resample_fold",
+                            lambda: s2d.upsample_fold_kernel(p["kernel"]),
+                        ),
                     )
             elif packed_out:
                 from ml_mdm_tpu.ops import space_to_depth as s2d
@@ -1118,6 +1191,10 @@ class ResNetBlockStage(nn.Module):
                     x = s2d.packed_upsample_conv(
                         x, p["kernel"], p.get("bias"), out_packed=True,
                         fast=fast,
+                        pk_fold=wcached(
+                            self, "resample_fold",
+                            lambda: s2d.upsample_fold_kernel(p["kernel"]),
+                        ),
                     )
             else:
                 if self.upsample_output:

@@ -212,7 +212,15 @@ class NestedUNet(UNet):
             x, temb[:bh], cond_hi, cm, train=train, plan=plan
         )
 
-        # inner unet (pad zeros for the mixed-batch low-res rows)
+        # inner unet (pad zeros for the mixed-batch low-res rows).
+        # When the bottom stage ran space-to-depth packed (plan[-1]),
+        # the adapter section is the one place needing the plain layout:
+        # unpack here, repack after the residual add — two cheap layout
+        # moves instead of running the whole stage's resnets unpacked.
+        if plan[-1]:
+            from ml_mdm_tpu.ops import space_to_depth as s2d
+
+            x = s2d.depth_to_space(x)
         x_inner = self.in_adapter(x) if self.in_adapter is not None else None
         if x_inner is not None and bh < bl:
             pad = jnp.zeros((bl - bh,) + x_inner.shape[1:], x_inner.dtype)
@@ -228,6 +236,8 @@ class NestedUNet(UNet):
         )
         x_inner = self.out_adapter(x_inner)
         x = x + (x_inner[:bh] if bh < bl else x_inner)
+        if plan[-1]:
+            x = s2d.space_to_depth(x)
 
         x = self.forward_upsample(
             x, temb[:bh], cond_hi, cm, skip_activations, train=train,

@@ -397,7 +397,11 @@ class UNet(nn.Module):
         for i, blk in enumerate(self.down_blocks):
             packed = (
                 not self.is_initializing()
-                and i != n - 1
+                # the last stage packs only when the mid blocks are
+                # skipped (nested shells): the attention mid blocks of
+                # a plain UNet need the plain layout, while NestedUNet
+                # unpacks/repacks around its adapter section itself
+                and (i != n - 1 or self.config.skip_mid_blocks)
                 and (h >> i) % 2 == 0
                 and (w >> i) % 2 == 0
                 and blk.packs_at(side >> i)
@@ -456,13 +460,29 @@ class UNet(nn.Module):
             # MXU ((3,3,3,C) -> (3,3,12,4C)) instead of a 3-channel conv
             # at full resolution
             from ml_mdm_tpu.ops import space_to_depth as s2d
+            from ml_mdm_tpu.ops import fused_resnet as fr
+            from ml_mdm_tpu.models.layers import wcached
 
             p = self.variables["params"]["conv_in"]
             xp = x_t.astype(self.dtype)
             if not packed_in:
                 xp = s2d.space_to_depth(xp)
+            fast = not train
+            if fast and fr.fused_mode() is not None:
+                # struct form for the Pallas path (hoisted via wcached)
+                pk = wcached(
+                    self, "conv_in_ps",
+                    lambda: fr._struct_weights(
+                        s2d.pack_conv3x3_kernel(p["kernel"])
+                    ),
+                )
+            else:
+                pk = wcached(
+                    self, "conv_in_pk",
+                    lambda: s2d.pack_conv3x3_kernel(p["kernel"]),
+                )
             return s2d.packed_conv(
-                xp, p["kernel"], p.get("bias"), fast=not train,
+                xp, p["kernel"], p.get("bias"), fast=fast, pk=pk,
             )
         assert not packed_in, "packed_in requires a packed input layer"
         return self.conv_in(x_t)
@@ -482,6 +502,8 @@ class UNet(nn.Module):
                 self.config.resnet_config.num_groups_norm,
             )
             pc = self.variables["params"]["conv_out"]
+            from ml_mdm_tpu.models.layers import wcached
+
             mode = fr.fused_mode()
             if mode is not None and not train:
                 # GN-affine + SiLU + conv_out in one Pallas pass
@@ -489,14 +511,25 @@ class UNet(nn.Module):
                     x,
                     a.reshape(a.shape[0], a.shape[-1]),
                     b.reshape(b.shape[0], b.shape[-1]),
-                    s2d.pack_conv3x3_kernel(pc["kernel"]),
+                    wcached(
+                        self, "conv_out_ps",
+                        lambda: fr._struct_weights(
+                            s2d.pack_conv3x3_kernel(pc["kernel"])
+                        ),
+                    ),
                     s2d.pack_channel_vector(pc["bias"]),
                     interpret=mode == "interpret",
                     packed_struct=True,
                 )
             else:
                 h = jax.nn.silu(x * a.astype(x.dtype) + b.astype(x.dtype))
-                y = s2d.packed_conv(h, pc["kernel"], pc.get("bias"))
+                y = s2d.packed_conv(
+                    h, pc["kernel"], pc.get("bias"),
+                    pk=wcached(
+                        self, "conv_out_pk",
+                        lambda: s2d.pack_conv3x3_kernel(pc["kernel"]),
+                    ),
+                )
             return y if packed_out else s2d.depth_to_space(y)
         assert not packed_out, "packed_out requires a packed output layer"
         return self.conv_out(jax.nn.silu(self.norm_out(x)))
@@ -506,7 +539,10 @@ class UNet(nn.Module):
         plan = plan or [False] * len(self.down_blocks)
         skip_activations = [x]
         for i, block in enumerate(self.down_blocks):
-            packed_out = plan[i + 1] if i + 1 < len(plan) else False
+            # the last (bottom) stage has no resample: keep its handoff
+            # in its own form — the consumer (mid section / upsample)
+            # follows plan[i]
+            packed_out = plan[i + 1] if i + 1 < len(plan) else plan[i]
             kw = dict(
                 return_activations=True, train=train,
                 packed_in=plan[i], packed_out=packed_out,

@@ -701,7 +701,11 @@ def affine_silu_conv3x3(x, a, b, w, bias, residual=None, *,
     for ai, bi_ in zip(a_s, b_s):
         operands.extend([ai.astype(jnp.float32), bi_.astype(jnp.float32)])
     if packed_struct:
-        ws = tuple(_struct_weights(wi) for wi in ws)
+        # accept pre-combined (2, 2, C, Cout) weights (wcached callers
+        # hoist _struct_weights out of the denoise scan)
+        ws = tuple(
+            wi if wi.shape[0] == 2 else _struct_weights(wi) for wi in ws
+        )
     operands.extend([wi.astype(x0.dtype) for wi in ws])
     if bias is None:
         bias = jnp.zeros((cout,), jnp.float32)

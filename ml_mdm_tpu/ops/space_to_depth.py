@@ -103,25 +103,30 @@ def pack_channel_vector(v: jnp.ndarray) -> jnp.ndarray:
 
 
 def packed_conv(x_packed: jnp.ndarray, kernel: jnp.ndarray,
-                bias: jnp.ndarray = None, fast: bool = False) -> jnp.ndarray:
+                bias: jnp.ndarray = None, fast: bool = False,
+                pk: jnp.ndarray = None) -> jnp.ndarray:
     """3x3 (or 1x1) conv on the packed representation. kernel is the
-    ORIGINAL unpacked HWIO kernel; transform happens here (tiny, traced
-    once per jit). ``fast`` routes the 3x3 case through the Pallas
-    fused-conv kernel (forward-only — no autodiff; eval paths only)."""
+    ORIGINAL unpacked HWIO kernel; transform happens here unless ``pk``
+    provides it precomputed (wcached callers hoist the transform out of
+    the denoise scan — XLA re-ran it every step otherwise). ``fast``
+    routes the 3x3 case through the Pallas fused-conv kernel
+    (forward-only — no autodiff; eval paths only); its ``pk`` may be
+    the (2, 2, ...) struct form."""
     if kernel.shape[0] == 1:
-        pk = pack_conv1x1_kernel(kernel)
+        pk = pack_conv1x1_kernel(kernel) if pk is None else pk
         pad = "VALID"
     else:
-        pk = pack_conv3x3_kernel(kernel)
-        pad = [(1, 1), (1, 1)]
         if fast:
             from ml_mdm_tpu.ops.fused_resnet import conv3x3_fast
 
             return conv3x3_fast(
-                x_packed, pk,
+                x_packed,
+                pack_conv3x3_kernel(kernel) if pk is None else pk,
                 None if bias is None else pack_channel_vector(bias),
                 packed_struct=True,
             )
+        pk = pack_conv3x3_kernel(kernel) if pk is None else pk
+        pad = [(1, 1), (1, 1)]
     y = jax.lax.conv_general_dilated(
         x_packed, pk.astype(x_packed.dtype),
         window_strides=(1, 1), padding=pad,
@@ -157,10 +162,11 @@ def pack_strided_conv_kernel(kernel: jnp.ndarray) -> jnp.ndarray:
     return t.reshape(2, 2, 4 * cin, cout)
 
 
-def packed_strided_conv(x_packed, kernel, bias=None):
+def packed_strided_conv(x_packed, kernel, bias=None, pk=None):
     """Downsample conv on the packed rep: (B,S/2,S/2,4Cin) ->
     (B,S/2,S/2,Cout) == stride-2 3x3 conv of the unpacked (B,S,S,Cin)."""
-    pk = pack_strided_conv_kernel(kernel)
+    if pk is None:
+        pk = pack_strided_conv_kernel(kernel)
     y = jax.lax.conv_general_dilated(
         x_packed, pk.astype(x_packed.dtype),
         window_strides=(1, 1), padding=[(1, 0), (1, 0)],
@@ -171,8 +177,19 @@ def packed_strided_conv(x_packed, kernel, bias=None):
     return y
 
 
+def upsample_fold_kernel(kernel: jnp.ndarray) -> jnp.ndarray:
+    """The packed-upsample conv kernel: pack_conv3x3_kernel summed over
+    the input sub-positions (a conv of a channel-REPEATED input equals
+    a conv of the plain input with the kernel pre-summed over repeats).
+    Split out so wcached callers can hoist it out of the denoise scan."""
+    pk = pack_conv3x3_kernel(kernel)
+    kh, kw, cin4, cout4 = pk.shape
+    return pk.reshape(kh, kw, cin4 // 4, 4, cout4).sum(axis=3)
+
+
 def packed_upsample_conv(x, kernel, bias=None, in_packed=False,
-                         out_packed=False, fast: bool = False):
+                         out_packed=False, fast: bool = False,
+                         pk_fold=None):
     """nearest-2x upsample + 3x3 conv, computed packed: x (B,S,S,C) ->
     (B,2S,2S,Cout). The upsampled image packed at the S grid is just a
     4x channel repeat (all four sub-pixels of a cell equal x[i,j]) —
@@ -188,9 +205,8 @@ def packed_upsample_conv(x, kernel, bias=None, in_packed=False,
     zero extra layout moves."""
     if in_packed:
         x = depth_to_space(x)
-    pk = pack_conv3x3_kernel(kernel)  # (3,3,4Cin,4Cout)
-    kh, kw, cin4, cout4 = pk.shape
-    pk_fold = pk.reshape(kh, kw, cin4 // 4, 4, cout4).sum(axis=3)
+    if pk_fold is None:
+        pk_fold = upsample_fold_kernel(kernel)
     pb = None if bias is None else pack_channel_vector(bias)
     if fast:
         from ml_mdm_tpu.ops.fused_resnet import conv3x3_fast
@@ -236,11 +252,12 @@ def pack_strided_conv_kernel_p2p(kernel: jnp.ndarray) -> jnp.ndarray:
     return t.reshape(3, 3, 4 * cin, 4 * cout)
 
 
-def packed_strided_conv_p2p(x_packed, kernel, bias=None):
+def packed_strided_conv_p2p(x_packed, kernel, bias=None, pk=None):
     """Downsample conv, packed to packed: (B,S/2,S/2,4Cin) ->
     (B,S/4,S/4,4Cout) == packed(stride-2 3x3 conv of the (B,S,S,Cin)
     image). One MXU conv, no layout moves on either side."""
-    pk = pack_strided_conv_kernel_p2p(kernel)
+    if pk is None:
+        pk = pack_strided_conv_kernel_p2p(kernel)
     y = jax.lax.conv_general_dilated(
         x_packed, pk.astype(x_packed.dtype),
         window_strides=(2, 2), padding=[(1, 1), (1, 1)],

@@ -822,3 +822,232 @@ def test_fused_resnet_kernel_packed_struct():
         for g, d in zip(struct, dense):
             np.testing.assert_allclose(np.asarray(g), np.asarray(d),
                                        rtol=2e-5, atol=2e-5)
+
+
+def _nested_shell_pair(outer_channels, inner_pack, outer_pack, side):
+    from ml_mdm_tpu.models.layers import ResNetConfig
+    from ml_mdm_tpu.models.nested_unet import NestedUNet, NestedUNetConfig
+    from ml_mdm_tpu.models.unet import UNetConfig
+
+    inner = dict(
+        resolution_channels=[16, 32],
+        num_resnets_per_resolution=[1, 1],
+        attention_levels=[1],
+        num_attention_layers=[0, 1],
+        conditioning_feature_dim=16,
+        masked_cross_attention=0,
+        skip_mid_blocks=False,
+        skip_cond_emb=False,
+        nesting=True,
+        resnet_config=ResNetConfig(num_groups_norm=4, dropout=0.0,
+                                   use_attention_ffn=False),
+    )
+    outer = dict(
+        resolution_channels=outer_channels,
+        num_resnets_per_resolution=[2, 2, 1],
+        attention_levels=[],
+        num_attention_layers=[0, 0, 0],
+        conditioning_feature_dim=16,
+        num_lm_head_layers=0,
+        masked_cross_attention=0,
+        skip_mid_blocks=True,
+        skip_cond_emb=True,
+        skip_inner_unet_input=False,
+        skip_normalization=True,
+        temporal_dim=64,
+        resnet_config=ResNetConfig(num_groups_norm=4, dropout=0.0,
+                                   use_attention_ffn=False),
+    )
+    m_plain = NestedUNet(3, 3, NestedUNetConfig(
+        pack_min_side=0,
+        inner_config=UNetConfig(pack_min_side=0, **inner), **outer))
+    m_packed = NestedUNet(3, 3, NestedUNetConfig(
+        pack_min_side=outer_pack,
+        inner_config=UNetConfig(pack_min_side=inner_pack, **inner),
+        **outer))
+
+    b = 2
+    xs = [
+        jax.random.normal(jax.random.PRNGKey(0), (b, side, side, 3)),
+        jax.random.normal(jax.random.PRNGKey(1), (b, side // 4,
+                                                  side // 4, 3)),
+    ]
+    t = jnp.asarray([3, 7], jnp.int32)
+    lm = jax.random.normal(jax.random.PRNGKey(2), (b, 4, 16))
+    mask = jnp.ones((b, 4))
+    params = jax.jit(m_plain.init)(
+        jax.random.PRNGKey(3), xs, t, lm, mask, {}
+    )["params"]
+    refs = m_plain.apply({"params": params}, xs, t, lm, mask, {})
+    outs = m_packed.apply({"params": params}, xs, t, lm, mask, {})
+    # the packed model must actually pack its LAST stage for this test
+    plan = m_packed.bind({"params": params})._pack_plan(xs[0])
+    return refs, outs, plan
+
+
+def test_packed_last_stage_plan_exact():
+    """plan[-1] packing (the bottom stage of a nested shell, unpacked
+    only around the in/out adapter section — r4) == unpacked, same
+    params. Exercises the packed bottom handoff, the adapter-boundary
+    depth_to_space/space_to_depth pair, and the packed skips of the
+    first up block."""
+    refs, outs, plan = _nested_shell_pair([8, 8, 16], 16, 16, 64)
+    assert plan[-1], f"bottom stage did not pack: {plan}"
+    for r, o in zip(refs, outs):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_packed_64ch_stage_plan_exact(monkeypatch):
+    """33-64 channel stages pack through the ML_MDM_TPU_PACK64_MIN_SIDE
+    gate (r4: the structured-tap kernel made 64ch packing a win)."""
+    monkeypatch.setenv("ML_MDM_TPU_PACK64_MIN_SIDE", "16")
+    refs, outs, plan = _nested_shell_pair([8, 8, 48], 16, 16, 64)
+    assert plan[-1], f"48ch bottom stage did not pack: {plan}"
+    for r, o in zip(refs, outs):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_wcache_sampling_matches_uncached(monkeypatch):
+    """ML_MDM_TPU_WCACHE bundling (packed-weight transforms precomputed
+    once per program via Model.build_wcache, r4) produces bit-identical
+    samples vs computing the transforms inline every step."""
+    from ml_mdm_tpu.diffusion import NestedDiffusion, NestedDiffusionConfig
+    from ml_mdm_tpu.models.layers import ResNetConfig
+    from ml_mdm_tpu.models.nested_unet import NestedUNet, NestedUNetConfig
+    from ml_mdm_tpu.models.unet import UNetConfig
+    from ml_mdm_tpu.samplers import SamplerConfig
+
+    monkeypatch.setenv("ML_MDM_TPU_FUSED", "interpret")
+    inner = dict(
+        resolution_channels=[16, 32],
+        num_resnets_per_resolution=[1, 1],
+        attention_levels=[1],
+        num_attention_layers=[0, 1],
+        conditioning_feature_dim=16,
+        masked_cross_attention=0,
+        nesting=True,
+        resnet_config=ResNetConfig(num_groups_norm=4, dropout=0.0),
+    )
+    outer = dict(
+        resolution_channels=[8, 8, 16],
+        num_resnets_per_resolution=[2, 2, 1],
+        attention_levels=[],
+        num_attention_layers=[0, 0, 0],
+        conditioning_feature_dim=16,
+        num_lm_head_layers=0,
+        masked_cross_attention=0,
+        skip_mid_blocks=True,
+        skip_cond_emb=True,
+        skip_normalization=True,
+        temporal_dim=64,
+        resnet_config=ResNetConfig(num_groups_norm=4, dropout=0.0),
+    )
+    module = NestedUNet(3, 3, NestedUNetConfig(
+        pack_min_side=16,
+        inner_config=UNetConfig(pack_min_side=16, **inner), **outer))
+    pipeline = NestedDiffusion(
+        module,
+        NestedDiffusionConfig(
+            sampler_config=SamplerConfig(num_diffusion_steps=8),
+            no_use_residual=True,
+        ),
+    )
+    params = pipeline.init_params(
+        jax.random.PRNGKey(0), image_side=32, lm_dim=16, seq_len=4
+    )
+    lm = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 16))
+    sample = {"lm_outputs": lm, "lm_mask": jnp.ones((2, 4))}
+
+    outs = {}
+    for flag in ("0", "1"):
+        monkeypatch.setenv("ML_MDM_TPU_WCACHE", flag)
+        outs[flag] = np.asarray(pipeline.sample(
+            params, 2, sample, 32, jax.random.PRNGKey(2),
+            num_inference_steps=2, resample_steps=True, ddim_eta=0.0,
+        ))
+    np.testing.assert_array_equal(outs["0"], outs["1"])
+
+    # eager chunked path builds through the self-jitted builder
+    monkeypatch.setenv("ML_MDM_TPU_WCACHE", "1")
+    out_c = np.asarray(pipeline.sample_chunked(
+        params, 2, sample, 32, jax.random.PRNGKey(2),
+        num_inference_steps=2, resample_steps=True, ddim_eta=0.0,
+        chunk_steps=1,
+    ))
+    assert np.isfinite(out_c).all()
+
+
+def test_packed_training_loss_parity_and_grad_flow(monkeypatch):
+    """Training with space-to-depth packed stages == training unpacked:
+    per-step losses must match bit-for-bit across several optimizer
+    steps, and gradients must reach (almost) every parameter once the
+    zero-init output layers warm up.
+
+    Background: conv_out and cond_layers_*_1 are zero-initialized
+    (reference zero_module parity, unet.py:321-326), so on a FRESH init
+    upstream gradients are EXACTLY zero and the update frontier cascades
+    one zero-init layer per step. A single-step "params changed" check
+    is therefore meaningless — this runs 4 steps and checks the
+    cascade completes.
+    """
+    from ml_mdm_tpu import trainer
+    from ml_mdm_tpu.diffusion import Diffusion, DiffusionConfig
+    from ml_mdm_tpu.models.layers import ResNetConfig
+    from ml_mdm_tpu.models.unet import UNet, UNetConfig
+    from ml_mdm_tpu.samplers import SamplerConfig
+
+    monkeypatch.setenv("ML_MDM_TPU_PACK64_MIN_SIDE", "16")
+
+    def run(pack):
+        cfg = dict(
+            resolution_channels=[8, 16],
+            num_resnets_per_resolution=[1, 1],
+            attention_levels=[],
+            num_attention_layers=[0, 0],
+            conditioning_feature_dim=16,
+            masked_cross_attention=0,
+            skip_mid_blocks=True,
+            resnet_config=ResNetConfig(num_groups_norm=4, dropout=0.0),
+        )
+        module = UNet(3, 3, UNetConfig(pack_min_side=pack, **cfg))
+        pipe = Diffusion(module, DiffusionConfig(
+            sampler_config=SamplerConfig(num_diffusion_steps=8)))
+        params = pipe.init_params(
+            jax.random.PRNGKey(0), image_side=32, lm_dim=16, seq_len=4
+        )
+        tcfg = trainer.TrainerConfig(
+            lr=1e-3, warmup_steps=1, gradient_clip_norm=2.0
+        )
+        opt, _ = trainer.make_optimizer(tcfg)
+        state = trainer.TrainState.create(params, opt)
+        step = jax.jit(trainer.make_train_step(pipe, opt, tcfg))
+        batch = {
+            "images": jax.random.normal(jax.random.PRNGKey(6),
+                                        (2, 32, 32, 3)),
+            "lm_outputs": jax.random.normal(jax.random.PRNGKey(1),
+                                            (2, 4, 16)),
+            "lm_mask": jnp.ones((2, 4)),
+        }
+        losses = []
+        s0 = state
+        for i in range(4):
+            state, m = step(state, batch, jax.random.PRNGKey(7 + i))
+            losses.append(float(m["loss"]))
+        unchanged = sum(
+            np.allclose(np.asarray(a), np.asarray(b))
+            for a, b in zip(jax.tree_util.tree_leaves(s0.params),
+                            jax.tree_util.tree_leaves(state.params))
+        )
+        n = len(jax.tree_util.tree_leaves(state.params))
+        return losses, unchanged, n
+
+    losses_packed, unchanged_p, n = run(pack=16)
+    losses_plain, unchanged_u, _ = run(pack=0)
+    # bit-identical loss trajectory: the packed rewrite is exact, so the
+    # same init + same keys must give the same floats
+    assert losses_packed == losses_plain, (losses_packed, losses_plain)
+    # gradient flow: after the zero-init cascade, most leaves update
+    assert unchanged_p == unchanged_u
+    assert unchanged_p <= n // 4, (unchanged_p, n)

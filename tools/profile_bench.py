@@ -170,7 +170,51 @@ def train256(batch=8, remat=os.environ.get("PROFILE_REMAT", "1") == "1"):
     profile_fn(thunk, top=45, warmup=False)
 
 
+def train1024(batch=2, remat=os.environ.get("PROFILE_REMAT", "1") == "1"):
+    from ml_mdm_tpu import trainer
+    from ml_mdm_tpu.config import get_arguments, get_model, get_pipeline
+
+    args = get_arguments(
+        args=["--config_path", "configs/models/cc12m_1024x1024.yaml"],
+        mode="trainer",
+    )
+    args.unet_config.conditioning_feature_dim = 2048
+    module = get_model(args.model)(3, 3, args.unet_config, dtype=jnp.bfloat16)
+    pipeline = get_pipeline(args.model)(module, args.diffusion_config)
+    params = pipeline.init_params(
+        jax.random.PRNGKey(0), image_side=1024, lm_dim=2048, seq_len=32
+    )
+    tcfg = trainer.TrainerConfig(
+        lr=5e-5, warmup_steps=10, gradient_clip_norm=2.0, remat=remat
+    )
+    opt, _ = trainer.make_optimizer(tcfg)
+    state = trainer.TrainState.create(params, opt)
+    del params
+    step = jax.jit(
+        trainer.make_train_step(pipeline, opt, tcfg,
+                                compute_dtype=jnp.bfloat16),
+        donate_argnums=(0,),
+    )
+    batch_data = {
+        "images": jnp.zeros((batch, 1024, 1024, 3), jnp.float32),
+        "lm_outputs": jnp.zeros((batch, 32, 2048), jnp.float32),
+        "lm_mask": jnp.ones((batch, 32), jnp.float32),
+    }
+    state, m = step(state, batch_data, jax.random.PRNGKey(1))
+    jax.block_until_ready(m)
+
+    holder = {"state": state}
+
+    def thunk():
+        holder["state"], mm = step(
+            holder["state"], batch_data, jax.random.PRNGKey(2)
+        )
+        jax.block_until_ready(mm)
+
+    profile_fn(thunk, top=45, warmup=False)
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "fwd1024"
     {"fwd1024": fwd1024, "sample64": sample64, "train256": train256,
-     "sample1024": sample1024}[mode]()
+     "sample1024": sample1024, "train1024": train1024}[mode]()
