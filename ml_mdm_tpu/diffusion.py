@@ -230,15 +230,22 @@ class Diffusion:
         Auto-gated to sides where packing can engage; ML_MDM_TPU_WCACHE
         forces on (1) / off (0). Under an outer jit the builder forward
         dead-code-eliminates to just the transforms."""
-        v = os.environ.get("ML_MDM_TPU_WCACHE", "auto")
+        from ml_mdm_tpu.perf import perf
+
+        v = perf().wcache
         if v == "0" or (v != "1" and image_side < 256):
             return params
-        b = num_examples
-        t0 = jnp.zeros((b,), jnp.int32)
+        # the cached transforms are weight-only (batch-independent), so
+        # the builder forward runs at batch 1 — also tolerant of callers
+        # whose conditioning batch is smaller than num_examples
+        # (broadcast pattern)
+        t0 = jnp.zeros((1,), jnp.int32)
         return self.model.build_wcache(
-            params, noise, t0,
-            sample["lm_outputs"][:b], sample["lm_mask"][:b],
-            {k: val[:b] for k, val in micros.items()},
+            params,
+            jax.tree_util.tree_map(lambda a: a[:1], noise),
+            t0,
+            sample["lm_outputs"][:1], sample["lm_mask"][:1],
+            {k: val[:1] for k, val in micros.items()},
         )
 
     def sample(self, params, num_examples, sample, image_side, key, **kwargs):

@@ -46,7 +46,32 @@ def _fused_proj_enabled() -> bool:
     """Whether the ResNet conv3 1x1 shortcut rides the fused conv1
     kernel (emit_proj) instead of running as a separate XLA conv that
     re-reads the input. ML_MDM_TPU_FUSED_PROJ=0 disables."""
-    return os.environ.get("ML_MDM_TPU_FUSED_PROJ", "1") != "0"
+    from ml_mdm_tpu.perf import perf
+
+    return perf().fused_proj
+
+
+def _fused_min_side() -> int:
+    """Minimum spatial side for the fused conv / Pallas GN-stats paths
+    (ML_MDM_TPU_FUSED_MIN_SIDE; see ml_mdm_tpu.perf)."""
+    from ml_mdm_tpu.perf import perf
+
+    return perf().fused_min_side
+
+
+def conv_tag(y):
+    """Tag a conv output with its PHYSICAL spatial side for the
+    selective remat policy (trainer.make_remat_policy): under
+    `jax.checkpoint`, small-side conv outputs (the compute-dense inner
+    towers of a nested model) are SAVED while the huge thin-shell
+    activations rematerialise — memory lives in the big tensors, FLOPs
+    in the small ones, so this recovers most of no-remat's speed at a
+    fraction of its memory. Identity (and free) outside jax.checkpoint.
+    """
+    from jax.ad_checkpoint import checkpoint_name
+
+    side = min(int(y.shape[1]), int(y.shape[2])) if y.ndim >= 3 else 0
+    return checkpoint_name(y, f"conv_s{side}")
 
 
 def _channel_offsets(cs):
@@ -183,8 +208,9 @@ def group_norm_coeffs(x, scale, bias, g, eps: float = 1e-5):
         # native reduce is competitive and Pallas boundaries cost layout
         # copies; at >=128px sides (packed shells are all-Pallas, plain
         # layout) the streaming kernel wins
-        big = x.ndim == 4 and min(x.shape[1], x.shape[2]) >= int(
-            os.environ.get("ML_MDM_TPU_FUSED_MIN_SIDE", "128")
+        big = (
+            x.ndim == 4
+            and min(x.shape[1], x.shape[2]) >= _fused_min_side()
         )
         mode = gn_stats_mode() if big else None
         if mode is not None:
@@ -251,9 +277,7 @@ def group_norm_coeffs_concat(xs, scale, bias, g, eps: float = 1e-5):
         big = (
             x.dtype == jnp.bfloat16
             and x.ndim == 4
-            and min(x.shape[1], x.shape[2]) >= int(
-                os.environ.get("ML_MDM_TPU_FUSED_MIN_SIDE", "128")
-            )
+            and min(x.shape[1], x.shape[2]) >= _fused_min_side()
         )
         mode = gn_stats_mode() if big else None
         if mode is not None:
@@ -393,9 +417,8 @@ class ResNet(nn.Module):
                 and _fused_resnet_mode() is not None
                 and (
                     packed
-                    or min(x[0].shape[1], x[0].shape[2]) >= int(
-                        os.environ.get("ML_MDM_TPU_FUSED_MIN_SIDE", "128")
-                    )
+                    or min(x[0].shape[1], x[0].shape[2])
+                    >= _fused_min_side()
                 )
             )
             if not engages:
@@ -552,7 +575,7 @@ class ResNet(nn.Module):
                 )
             return getattr(self, name).affine_coeffs(h)
 
-        min_side = int(os.environ.get("ML_MDM_TPU_FUSED_MIN_SIDE", "128"))
+        min_side = _fused_min_side()
         fused = None
         gn_params = None
         fused_proj = False
@@ -665,10 +688,11 @@ class ResNet(nn.Module):
             else:
                 h, hs1, hs2 = fused("conv1", x, a1, b1, None,
                                     emit_stats=True)
+            h = conv_tag(h)
         else:
             assert not isinstance(x, tuple)
-            h = conv("conv1", jax.nn.silu(x * a1.astype(x.dtype)
-                                          + b1.astype(x.dtype)))
+            h = conv_tag(conv("conv1", jax.nn.silu(x * a1.astype(x.dtype)
+                                                   + b1.astype(x.dtype))))
         t = self.time_layer(jax.nn.silu(temb))  # (B, 2*out)
         t = _maybe_repeat_temb(h, t)
         ta, tb = jnp.split(t, 2, axis=-1)
@@ -692,7 +716,7 @@ class ResNet(nn.Module):
                 if isinstance(x, tuple):
                     x = jnp.concatenate(x, axis=-1)
                 res = conv("conv3", x) if needs_proj else x
-            return fused("conv2", h, a2f, b2f, res)
+            return conv_tag(fused("conv2", h, a2f, b2f, res))
         a2 = (a2 * (1.0 + ta)).astype(h.dtype)
         b2 = (b2 * (1.0 + ta) + tb).astype(h.dtype)
         h = jax.nn.silu(h * a2 + b2)
@@ -700,7 +724,7 @@ class ResNet(nn.Module):
         h = conv("conv2", h)
         if cfg.output_channels != cfg.num_channels:
             x = conv("conv3", x)
-        return h + x
+        return conv_tag(h + x)
 
 
 class SelfAttention(nn.Module):
@@ -970,15 +994,16 @@ class ResNetBlockStage(nn.Module):
         packing slower under the dense 9-tap kernel, r4's structured
         taps flipped that; ML_MDM_TPU_PACK_MAX_CH=32 restores the old
         gate)."""
+        from ml_mdm_tpu.perf import perf
+
+        p = perf()
         max_ch = max(
             (rc.output_channels for rc in self.resnet_configs), default=0
         )
         if max_ch <= 32:
             min_side = self.pack_min_side
-        elif max_ch <= int(os.environ.get("ML_MDM_TPU_PACK_MAX_CH", "64")):
-            min_side = int(
-                os.environ.get("ML_MDM_TPU_PACK64_MIN_SIDE", "256")
-            )
+        elif max_ch <= p.pack_max_ch:
+            min_side = p.pack64_min_side
         else:
             return False
         return (

@@ -30,12 +30,21 @@ import jax.numpy as jnp
 # default OFF: measured on TPU v5e with the 64px flagship (L<=1024), the
 # XLA-fused einsum path is ~25% faster end-to-end (5.69 vs 4.46
 # samples/s) — see flash_attention docstring. Opt in for long sequences.
-_USE_FLASH = os.environ.get("ML_MDM_TPU_FLASH", "0") == "1"
+# Declared in ml_mdm_tpu.perf; use_flash() forces programmatically.
+_FLASH_OVERRIDE = None
 
 
 def use_flash(enabled: bool):
-    global _USE_FLASH
-    _USE_FLASH = enabled
+    global _FLASH_OVERRIDE
+    _FLASH_OVERRIDE = bool(enabled)
+
+
+def _use_flash() -> bool:
+    if _FLASH_OVERRIDE is not None:
+        return _FLASH_OVERRIDE
+    from ml_mdm_tpu.perf import perf
+
+    return perf().flash
 
 
 # materialise the (L, L) logits in bf16 instead of f32 under bf16
@@ -44,17 +53,18 @@ def use_flash(enabled: bool):
 # path). Halves attention's dominant HBM traffic at 1024 tokens:
 # measured +6.6% end-to-end on the 64px flagship (5.82 -> 6.21
 # samples/s). Opt out with ML_MDM_TPU_BF16_LOGITS=0; f32 models are
-# unaffected.
-_BF16_LOGITS = os.environ.get("ML_MDM_TPU_BF16_LOGITS", "1") == "1"
+# unaffected. Declared in ml_mdm_tpu.perf.
 
 
 def _einsum_attention(q, k, v, mask=None):
     """q: (B, Lq, H, D), k/v: (B, Lk, H, D), mask: (B, Lk) or None."""
+    from ml_mdm_tpu.perf import perf
+
     d = q.shape[-1]
     scale = 1.0 / (d ** 0.25)
     logits_dtype = (
         jnp.bfloat16
-        if (_BF16_LOGITS and q.dtype == jnp.bfloat16)
+        if (perf().bf16_logits and q.dtype == jnp.bfloat16)
         else jnp.float32
     )
     logits = jnp.einsum(
@@ -77,7 +87,7 @@ def dot_product_attention(
     mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """(B, L, H, D) attention with optional key-padding mask (B, Lk)."""
-    if _USE_FLASH and mask is None and _flash_supported(q, k):
+    if _use_flash() and mask is None and _flash_supported(q, k):
         return tpu_flash_attention(q, k, v)
     return _einsum_attention(q, k, v, mask)
 

@@ -37,13 +37,11 @@ def fused_mode():
 
     ML_MDM_TPU_FUSED=0 disables; =interpret forces the pallas
     interpreter (CPU testing); default: compiled kernel on TPU, plain
-    XLA path elsewhere."""
-    v = os.environ.get("ML_MDM_TPU_FUSED", "auto")
-    if v == "0":
-        return None
-    if v == "interpret":
-        return "interpret"
-    return "tpu" if jax.default_backend() == "tpu" else None
+    XLA path elsewhere. Declared in ml_mdm_tpu.perf (single source of
+    truth for all perf gates)."""
+    from ml_mdm_tpu.perf import perf, resolve_kernel_mode
+
+    return resolve_kernel_mode(perf().fused)
 
 
 def conv3x3_fast(x, w, bias, residual=None, packed_struct=False):
@@ -470,7 +468,9 @@ def _kernel_pipelined(*args, th: int, n_ops: int, apply_silu: bool,
 
 
 def _pipelined_mode() -> bool:
-    return os.environ.get("ML_MDM_TPU_FUSED_PIPELINED", "1") != "0"
+    from ml_mdm_tpu.perf import perf
+
+    return perf().fused_pipelined
 
 
 @functools.partial(
@@ -735,12 +735,9 @@ def fused_train_mode():
     the 256px train step — XLA's thin-channel large-spatial convs run
     far below roofline there); ML_MDM_TPU_FUSED_TRAIN=0 disables,
     =interpret forces the pallas interpreter (CPU tests)."""
-    v = os.environ.get("ML_MDM_TPU_FUSED_TRAIN", "auto")
-    if v == "0":
-        return None
-    if v == "interpret":
-        return "interpret"
-    return "tpu" if jax.default_backend() == "tpu" else None
+    from ml_mdm_tpu.perf import perf, resolve_kernel_mode
+
+    return resolve_kernel_mode(perf().fused_train)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
@@ -834,19 +831,80 @@ def _vjp_bwd(apply_silu, interpret, emit_stats, packed_struct, saved, g):
     db = jnp.sum(dv, axis=(1, 2), dtype=f32).astype(b.dtype)
     dbias = jnp.sum(dy, axis=(0, 1, 2), dtype=f32)
 
-    # weight gradient via XLA's conv-grad (correlation of the stored
-    # activation with dy); runs in the primal dtype — the MXU still
-    # accumulates in f32 internally
-    _, pull = jax.vjp(
-        lambda w_: jax.lax.conv_general_dilated(
-            s_store.astype(x.dtype), w_, (1, 1), [(1, 1), (1, 1)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        ),
-        w.astype(x.dtype),
-    )
-    (dw,) = pull(dy.astype(x.dtype))
+    if packed_struct:
+        # struct-tap weight gradient: the forward only reads the packed
+        # kernel through the linear combine L = _struct_weights (4
+        # combined taps), so dw = L^T(d wq) where d wq needs just FOUR
+        # tall MXU dots over the same lane-parity-selected buffers the
+        # forward uses — the XLA conv-grad here computed the DENSE
+        # 9-tap gradient of the 4x-padded packed kernel (2.25x the
+        # FLOPs, at thin-shell conv-grad efficiency). Exact: the
+        # composite d/dW [struct(x, L(pack(W)))] == d/dW [conv(x,
+        # pack(W))] because the functions agree on pack's image.
+        dw = _struct_wgrad(s_store.astype(x.dtype), dy.astype(x.dtype))
+    else:
+        # weight gradient via XLA's conv-grad (correlation of the stored
+        # activation with dy); runs in the primal dtype — the MXU still
+        # accumulates in f32 internally
+        _, pull = jax.vjp(
+            lambda w_: jax.lax.conv_general_dilated(
+                s_store.astype(x.dtype), w_, (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ),
+            w.astype(x.dtype),
+        )
+        (dw,) = pull(dy.astype(x.dtype))
     dres = dy if has_res else None
     return dx, da, db, dw.astype(w.dtype), dbias.astype(f32), dres
+
+
+def _struct_wgrad(s, dy):
+    """(3, 3, C, Cout) packed-kernel cotangent from 4 MXU dots.
+
+    s: (B, H, W, C) activated input (silu(x*a+b)); dy: (B, H, W, Cout).
+    Computes d wq for the 4 combined struct taps (same lane-parity
+    selected buffers as _struct_dots, shifts zero-padded == conv
+    padding 1), then scatters through L^T (_struct_weights' transpose):
+    each packed tap that L summed into a combined tap receives that
+    combined tap's cotangent."""
+    c = s.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (c,), 0)
+    ei = ((lane >> 1) & 1) == 1  # packed sub-row bit
+    ej = (lane & 1) == 1         # packed sub-col bit
+
+    def up(t):     # t[r-1], zero top row
+        return jnp.pad(t, ((0, 0), (1, 0), (0, 0), (0, 0)))[:, :-1]
+
+    def down(t):   # t[r+1], zero bottom row
+        return jnp.pad(t, ((0, 0), (0, 1), (0, 0), (0, 0)))[:, 1:]
+
+    def left(t):   # t[:, j-1], zero first col
+        return jnp.pad(t, ((0, 0), (0, 0), (1, 0), (0, 0)))[:, :, :-1]
+
+    def right(t):  # t[:, j+1], zero last col
+        return jnp.pad(t, ((0, 0), (0, 0), (0, 1), (0, 0)))[:, :, 1:]
+
+    buf_a = s
+    buf_b = jnp.where(ei, up(s), down(s))
+    dwq = []
+    for buf in (buf_a, buf_b):
+        xc = buf
+        xb = jnp.where(ej, left(buf), right(buf))
+        dwq.append([
+            jnp.einsum("bhwc,bhwo->co", xc, dy,
+                       preferred_element_type=jnp.float32),
+            jnp.einsum("bhwc,bhwo->co", xb, dy,
+                       preferred_element_type=jnp.float32),
+        ])
+    # L^T: dwp[1,1]=dwq[a,center]; dwp[1,0]=dwp[1,2]=dwq[a,bound];
+    # dwp[0,1]=dwp[2,1]=dwq[b,center]; corners = dwq[b,bound]
+    ac, ab = dwq[0]
+    bc, bb = dwq[1]
+    return jnp.stack([
+        jnp.stack([bb, bc, bb]),
+        jnp.stack([ab, ac, ab]),
+        jnp.stack([bb, bc, bb]),
+    ])
 
 
 affine_silu_conv3x3_vjp.defvjp(_vjp_fwd, _vjp_bwd)

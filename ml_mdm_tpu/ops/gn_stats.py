@@ -38,12 +38,9 @@ def gn_stats_mode():
     ML_MDM_TPU_GN_KERNEL=0 disables; =interpret forces the pallas
     interpreter (CPU testing); default: compiled kernel on TPU, plain
     XLA reductions elsewhere."""
-    v = os.environ.get("ML_MDM_TPU_GN_KERNEL", "auto")
-    if v == "0":
-        return None
-    if v == "interpret":
-        return "interpret"
-    return "tpu" if jax.default_backend() == "tpu" else None
+    from ml_mdm_tpu.perf import perf, resolve_kernel_mode
+
+    return resolve_kernel_mode(perf().gn_kernel)
 
 
 def _kernel(x_ref, st_ref, *, th: int):

@@ -111,7 +111,13 @@ def packed_conv(x_packed: jnp.ndarray, kernel: jnp.ndarray,
     the denoise scan — XLA re-ran it every step otherwise). ``fast``
     routes the 3x3 case through the Pallas fused-conv kernel
     (forward-only — no autodiff; eval paths only); its ``pk`` may be
-    the (2, 2, ...) struct form."""
+    the (2, 2, ...) struct form.
+
+    INVARIANT: a 3x3 ``pk`` must be the output of pack_conv3x3_kernel
+    (or its _struct_weights combination) for THIS ``kernel`` — the fast
+    path assumes the packed structural-zero pattern (packed_struct=True)
+    and silently computes the wrong function for a generic dense packed
+    kernel."""
     if kernel.shape[0] == 1:
         pk = pack_conv1x1_kernel(kernel) if pk is None else pk
         pad = "VALID"

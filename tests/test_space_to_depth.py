@@ -824,6 +824,56 @@ def test_fused_resnet_kernel_packed_struct():
                                        rtol=2e-5, atol=2e-5)
 
 
+def test_fused_resnet_vjp_packed_struct_grads():
+    """The struct-tap training backward (fused_resnet._struct_wgrad: 4
+    MXU dots + L^T scatter instead of XLA's dense 9-tap conv-grad of the
+    4x-padded packed kernel) produces the SAME gradients as
+    differentiating the pure-XLA reference on the packed path — for
+    every input (x, a, b, W-unpacked, bias, residual), with and without
+    the ride-along stats cotangents."""
+    from ml_mdm_tpu.ops.fused_resnet import (
+        affine_silu_conv3x3_vjp, reference_affine_silu_conv3x3,
+    )
+
+    ks = jax.random.split(jax.random.PRNGKey(7), 10)
+    B, H, W, C, CO = 2, 12, 10, 3, 5
+    x = jax.random.normal(ks[0], (B, H, W, C)) * 0.5
+    w = jax.random.normal(ks[1], (3, 3, C, CO)) * 0.2
+    a = jax.random.normal(ks[2], (B, 4 * C)) * 0.2 + 1.0
+    b = jax.random.normal(ks[3], (B, 4 * C)) * 0.1
+    bias = jax.random.normal(ks[4], (4 * CO,)) * 0.1
+    res = jax.random.normal(ks[5], (B, H // 2, W // 2, 4 * CO))
+    cy = jax.random.normal(ks[6], (B, H // 2, W // 2, 4 * CO))
+    c1 = jax.random.normal(ks[7], (B, 4 * CO))
+    c2 = jax.random.normal(ks[8], (B, 4 * CO))
+
+    def loss_struct(x, a, b, w, bias, res):
+        y, s1, s2 = affine_silu_conv3x3_vjp(
+            s2d.space_to_depth(x), a, b, s2d.pack_conv3x3_kernel(w),
+            bias, res, True, True, True, True,
+        )
+        return (jnp.sum(y * cy) + jnp.sum(s1 * c1) + jnp.sum(s2 * c2))
+
+    def loss_ref(x, a, b, w, bias, res):
+        y = reference_affine_silu_conv3x3(
+            s2d.space_to_depth(x), a, b, s2d.pack_conv3x3_kernel(w),
+            bias, res,
+        )
+        s1 = jnp.sum(y.astype(jnp.float32), axis=(1, 2))
+        s2 = jnp.sum(jnp.square(y.astype(jnp.float32)), axis=(1, 2))
+        return (jnp.sum(y * cy) + jnp.sum(s1 * c1) + jnp.sum(s2 * c2))
+
+    args = (x, a, b, w, bias, res)
+    g_struct = jax.grad(loss_struct, argnums=tuple(range(6)))(*args)
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(6)))(*args)
+    for name, gs, gr in zip(("x", "a", "b", "w", "bias", "res"),
+                            g_struct, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(gs), np.asarray(gr), rtol=5e-4, atol=5e-4,
+            err_msg=f"struct-tap vjp grad mismatch: {name}",
+        )
+
+
 def _nested_shell_pair(outer_channels, inner_pack, outer_pack, side):
     from ml_mdm_tpu.models.layers import ResNetConfig
     from ml_mdm_tpu.models.nested_unet import NestedUNet, NestedUNetConfig

@@ -24,6 +24,10 @@ from ml_mdm_tpu.ops.fused_resnet import affine_silu_conv3x3  # noqa: E402
 
 def run(B, H, W, C, CO, n=30, label="", residual=False, proj=False,
         stats=False, n_ops=1, struct=False, **kw):
+    # NOTE: with struct=True the random dense kernels below lack the
+    # structural zeros pack_conv3x3_kernel produces, so the struct
+    # variant computes a DIFFERENT function than the dense run — this
+    # probe measures timing only; outputs are not cross-comparable.
     k = jax.random.split(jax.random.PRNGKey(0), 8)
     cs = [C // n_ops] * n_ops
     xs = tuple(
