@@ -36,6 +36,27 @@ A100_TORCH_EST = 4.36   # samples/sec (see derivation above)
 FLOPS_PER_SAMPLE = 358.5e9 * 50  # fwd GF/image x DDIM steps
 PEAK_TFLOPS = {"TPU v5 lite": 197.0, "TPU v5": 459.0}
 
+
+def _mfu(per_sec: float, useful_flops_per_unit: float):
+    """Model FLOPs utilisation, ONE formula for every row:
+
+        mfu = throughput x useful_flops_per_unit / chip_peak_flops
+
+    where useful_flops_per_unit is the XLA cost-analysis bf16 FLOPs of
+    the UNREMATERIALISED model math per throughput unit (per sample for
+    sampling rows = fwd x DDIM steps; per image for training rows =
+    fwd+bwd). Remat recompute and other overheads are NOT credited —
+    this measures useful work, so it is comparable across presets.
+    Constants (XLA cost analysis, BASELINE.md): cc12m_64x64 fwd 358.5
+    GF/img; cc12m_256x256 fwd+bwd 1496 GF/img; cc12m_1024x1024 fwd
+    1020.8 GF/img (train fwd+bwd = 3x fwd). Returns None off-TPU."""
+    import jax
+
+    peak = PEAK_TFLOPS.get(jax.devices()[0].device_kind)
+    if not peak:
+        return None
+    return round(per_sec * useful_flops_per_unit / (peak * 1e12), 3)
+
 # Shared baseline methodology for the secondary rows: A100 eager torch
 # at an assumed 25% MFU of the 312 TF bf16 peak sustains 78 TF/s.
 A100_EAGER_TFLOPS = 0.25 * 312.0
@@ -48,7 +69,8 @@ A100_TORCH_TRAIN256_EST = A100_EAGER_TFLOPS * 1e12 / 1496e9
 A100_TORCH_SAMPLE1024_EST = A100_EAGER_TFLOPS * 1e12 / (1020.8e9 * 250)
 
 
-def train_256(batch: int = 16, remat: bool = False):
+def train_256(batch: int = 16, remat: bool = False,
+              mu_dtype: str = "float32"):
     """Secondary benchmark (BASELINE.json: '256px train step/s'): one
     full train step (fwd+bwd+clip+adam+EMA) of the real cc12m_256x256
     nested architecture, bf16 compute, synthetic batch. Default preset
@@ -56,6 +78,7 @@ def train_256(batch: int = 16, remat: bool = False):
     remat; bs24 OOMs; bs20 measured slightly slower than 16).
 
     Run with: python bench.py --train256 [--batch N] [--remat|--no-remat]
+    [--mu-bf16]
     """
     import jax
     import jax.numpy as jnp
@@ -76,7 +99,8 @@ def train_256(batch: int = 16, remat: bool = False):
         jax.random.PRNGKey(0), image_side=256, lm_dim=2048, seq_len=32
     )
     tcfg = trainer.TrainerConfig(
-        lr=5e-5, warmup_steps=10, gradient_clip_norm=2.0, remat=remat
+        lr=5e-5, warmup_steps=10, gradient_clip_norm=2.0, remat=remat,
+        adam_mu_dtype=mu_dtype,
     )
     opt, _ = trainer.make_optimizer(tcfg)
     state = trainer.TrainState.create(params, opt)
@@ -109,14 +133,20 @@ def train_256(batch: int = 16, remat: bool = False):
                 "unit": "steps/sec/chip",
                 "images_per_sec": round(b / dt, 2),
                 "vs_baseline": round((b / dt) / A100_TORCH_TRAIN256_EST, 3),
+                "mfu": _mfu(b / dt, 1496e9),
             }
         )
     )
 
 
-def train_1024(batch: int = 2):
-    """1024px nested2 training step (fwd+bwd+clip+adam+EMA), remat +
-    bf16 + packed shells. Run with: python bench.py --train1024"""
+def train_1024(batch: int = 2, remat: bool = True,
+               save_side: int = 128):
+    """1024px nested2 training step (fwd+bwd+clip+adam+EMA), bf16 +
+    packed shells. Default preset: bs2 with SELECTIVE remat (the huge
+    thin-shell activations rematerialise, conv outputs with side <=
+    save_side are saved — trainer.make_remat_policy).
+    Run with: python bench.py --train1024 [--batch N] [--no-remat]
+    [--save-side S]"""
     import jax
     import jax.numpy as jnp
 
@@ -136,7 +166,8 @@ def train_1024(batch: int = 2):
         jax.random.PRNGKey(0), image_side=1024, lm_dim=2048, seq_len=32
     )
     tcfg = trainer.TrainerConfig(
-        lr=5e-5, warmup_steps=10, gradient_clip_norm=2.0, remat=True
+        lr=5e-5, warmup_steps=10, gradient_clip_norm=2.0, remat=remat,
+        remat_save_conv_max_side=save_side,
     )
     opt, _ = trainer.make_optimizer(tcfg)
     state = trainer.TrainState.create(params, opt)
@@ -160,17 +191,22 @@ def train_1024(batch: int = 2):
         state, m = step(state, batch_data, jax.random.PRNGKey(2 + i))
     jax.block_until_ready(m)
     dt = (time.perf_counter() - t0) / n
+    rlabel = (
+        f"selective-remat(save<={save_side})" if remat and save_side > 0
+        else ("remat" if remat else "no-remat")
+    )
     print(
         json.dumps(
             {
                 "metric": f"1024px train step/s (nested2, bs{b}, bf16, "
-                          "remat, packed shells)",
+                          f"{rlabel}, packed shells)",
                 "value": round(1.0 / dt, 3),
                 "unit": "steps/sec/chip",
                 "images_per_sec": round(b / dt, 2),
                 "vs_baseline": round(
                     (b / dt) / A100_TORCH_TRAIN1024_EST, 3
                 ),
+                "mfu": _mfu(b / dt, 3 * 1020.8e9),
             }
         )
     )
@@ -241,6 +277,7 @@ def sample_1024(batch: int = 4, steps: int = 250):
                 "vs_baseline": round(
                     sps * (steps / 250) / A100_TORCH_SAMPLE1024_EST, 3
                 ),
+                "mfu": _mfu(sps, 1020.8e9 * steps),
             }
         )
     )
@@ -292,18 +329,15 @@ def main():
     dt = (time.perf_counter() - t0) / n_iters
 
     samples_per_sec = batch / dt
-    kind = jax.devices()[0].device_kind
-    peak = PEAK_TFLOPS.get(kind)
     result = {
         "metric": "64px samples/sec/chip (DDIM-50, bs64, bf16)",
         "value": round(samples_per_sec, 3),
         "unit": "samples/sec/chip",
         "vs_baseline": round(samples_per_sec / A100_TORCH_EST, 3),
     }
-    if peak:
-        result["mfu"] = round(
-            samples_per_sec * FLOPS_PER_SAMPLE / (peak * 1e12), 3
-        )
+    mfu = _mfu(samples_per_sec, FLOPS_PER_SAMPLE)
+    if mfu is not None:
+        result["mfu"] = mfu
     print(json.dumps(result))
 
 
@@ -315,9 +349,23 @@ if __name__ == "__main__":
             int(sys.argv[sys.argv.index("--batch") + 1])
             if "--batch" in sys.argv else 16
         )
-        train_256(batch=b, remat="--remat" in sys.argv)
+        train_256(
+            batch=b, remat="--remat" in sys.argv,
+            mu_dtype=(
+                "bfloat16" if "--mu-bf16" in sys.argv else "float32"
+            ),
+        )
     elif "--train1024" in sys.argv:
-        train_1024()
+        b = (
+            int(sys.argv[sys.argv.index("--batch") + 1])
+            if "--batch" in sys.argv else 2
+        )
+        ss = (
+            int(sys.argv[sys.argv.index("--save-side") + 1])
+            if "--save-side" in sys.argv else 128
+        )
+        train_1024(batch=b, remat="--no-remat" not in sys.argv,
+                   save_side=ss)
     elif "--sample1024" in sys.argv:
         sample_1024()
     else:

@@ -42,6 +42,18 @@ class TrainerConfig:
     # rematerialise the forward pass in backward (jax.checkpoint): trades
     # ~33% extra FLOPs for activation memory — required for 1024px batches
     remat: bool = False
+    # selective remat: ALSO save conv outputs whose physical spatial side
+    # is <= this (models/layers.py conv_tag). In a nested pyramid the
+    # activation MEMORY lives in the huge thin shells while the FLOPs
+    # live in the small compute-dense towers — saving the small convs
+    # skips most of remat's recompute for almost none of its memory.
+    # 0 = classic dots-only policy.
+    remat_save_conv_max_side: int = 128
+    # store Adam's FIRST moment in bf16 (optax mu_dtype): the per-step
+    # param update is bandwidth-bound (~22ms over 477M params at 256px),
+    # and mu's read+write is 8 of its 36 bytes/param — bf16 mu trims 4.
+    # The second moment stays f32 (squared grads span too much range).
+    adam_mu_dtype: str = "float32"
 
 
 class TrainState(struct.PyTreeNode):
@@ -75,10 +87,13 @@ def make_optimizer(config: TrainerConfig, freeze_mask=None):
     schedule = LRScaler(config.lr_scaling_factor).get_lr_schedule(
         config.warmup_steps, config.lr
     )
+    mu_dtype = jnp.dtype(config.adam_mu_dtype)
     if config.use_adamw:
-        tx = optax.adamw(schedule, eps=1e-8, weight_decay=0.0)
+        tx = optax.adamw(
+            schedule, eps=1e-8, weight_decay=0.0, mu_dtype=mu_dtype
+        )
     else:
-        tx = optax.adam(schedule, eps=1e-8)
+        tx = optax.adam(schedule, eps=1e-8, mu_dtype=mu_dtype)
     if freeze_mask is not None:
         tx = optax.multi_transform(
             {"train": tx, "freeze": optax.set_to_zero()},
@@ -93,6 +108,27 @@ def weighted_loss(losses, weights, loss_factor=1.0):
     else:
         loss = (losses * weights).sum() / weights.sum()
     return loss * loss_factor
+
+
+def make_remat_policy(config: TrainerConfig):
+    """Saveable-set policy for `jax.checkpoint` under `remat=True`.
+
+    Base: `checkpoint_dots` (matmul outputs saved — attention einsums,
+    dense layers; note jax counts CONVOLUTIONS as non-dots, so a pure
+    conv net saves nothing under it and the whole forward runs twice).
+    With `remat_save_conv_max_side > 0`, conv outputs tagged by
+    `models.layers.conv_tag` with physical side <= the threshold are
+    saved too (`save_only_these_names`): the nested pyramid's
+    compute-dense small towers stop recomputing while its huge
+    thin-shell activations still rematerialise."""
+    dots = jax.checkpoint_policies.checkpoint_dots
+    m = config.remat_save_conv_max_side
+    if m <= 0:
+        return dots
+    names = [f"conv_s{s}" for s in range(1, m + 1)]
+    return jax.checkpoint_policies.save_from_both_policies(
+        dots, jax.checkpoint_policies.save_only_these_names(*names)
+    )
 
 
 def make_train_step(
@@ -133,12 +169,7 @@ def make_train_step(
         return loss, (losses, time)
 
     if config.remat:
-        # checkpoint at the loss-fn boundary with the dots-saveable policy:
-        # matmul/conv outputs are kept, cheap elementwise ops recompute
-        loss_fn = jax.checkpoint(
-            loss_fn,
-            policy=jax.checkpoint_policies.checkpoint_dots,
-        )
+        loss_fn = jax.checkpoint(loss_fn, policy=make_remat_policy(config))
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
     def _microbatch(batch, i):
