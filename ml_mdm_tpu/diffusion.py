@@ -206,7 +206,9 @@ class Diffusion:
             self._config.sampler_config.loss_target_type,
         )
         pred = self.get_pred_for_training(x_t, means, g)
-        loss = jnp.mean((pred - tgt) ** 2, axis=(1, 2, 3))
+        loss = jnp.mean(
+            jnp.square(pred - tgt), axis=(1, 2, 3), dtype=jnp.float32
+        )
         return loss, time, x_t, means, tgt, weights
 
     def get_noise(self, key, num_examples, image_side, dtype=jnp.float32):
@@ -499,8 +501,11 @@ class NestedDiffusion(Diffusion):
         if not self._config.use_vdm_loss_weights:
             weights = None
 
-        # image pyramid (avg-pool); eps pyramid re-randomised at low res
-        _images, _eps, T = [images], [eps], 4
+        # image pyramid (avg-pool); the low-res eps are fresh normals at
+        # each level (drawn directly at the pyramid shapes below — the
+        # reference pools eps then immediately re-randomises, so the
+        # pooled values are dead; diffusion.py:255-268 semantics kept)
+        _images, T = [images], 4
         for iz, (r, ist) in enumerate(zip(ratios, istime)):
             if iz == 0:
                 continue
@@ -523,17 +528,16 @@ class NestedDiffusion(Diffusion):
             else:
                 x = avg_pool_nhwc(x, rr)
             _images.append(x)
-            _eps.append(avg_pool_nhwc(_eps[-1], rr) * rr)
-        images_list, eps_list = _images, _eps
+        images_list = _images
 
         g_list = self.sampler.get_gammas(g, scales)
         g_last_list = self.sampler.get_gammas(g_last, scales)
 
-        renoise_keys = jax.random.split(k_renoise, len(eps_list))
-        for i in range(1, len(eps_list)):
-            eps_list[i] = jax.random.normal(
-                renoise_keys[i], eps_list[i].shape, eps_list[i].dtype
-            )
+        renoise_keys = jax.random.split(k_renoise, len(images_list))
+        eps_list = [eps] + [
+            jax.random.normal(renoise_keys[i], images_list[i].shape, eps.dtype)
+            for i in range(1, len(images_list))
+        ]
 
         x_t = self.sampler.get_xt(images_list, eps_list, g_list, scales)
         p_t = self.model(
@@ -561,7 +565,10 @@ class NestedDiffusion(Diffusion):
         loss = 0.0
         for i in range(len(x_t)):
             if i == 0 or self._config.use_double_loss:
-                loss_i = jnp.mean((pred[i] - tgt[i]) ** 2, axis=(1, 2, 3))
+                loss_i = jnp.mean(
+                    jnp.square(pred[i] - tgt[i]),
+                    axis=(1, 2, 3), dtype=jnp.float32,
+                )
                 if self.mixed_ratio is not None:
                     loss_i = loss_i / self.mixed_ratio[i]
                     keep = int(self.mixed_ratio[i] * loss_i.shape[0])

@@ -791,11 +791,21 @@ def _vjp_bwd(apply_silu, interpret, emit_stats, packed_struct, saved, g):
     else:
         dy = g
     f32 = jnp.float32
-    # A/B note (v5e, train256): computing this chain in bf16 measured
-    # SLOWER than f32 (5.28 vs 5.52 steps/s) — XLA fuses the f32 chain
-    # into the consuming reductions better than it handles the extra
-    # converts the bf16 version adds at the Pallas boundaries.
-    cd = jnp.float32
+    # A/B note (v5e, train256, <=256px sides): computing this chain in
+    # bf16 measured SLOWER than f32 (5.28 vs 5.52 steps/s) — XLA fuses
+    # the f32 chain into the consuming reductions better than it handles
+    # the extra converts the bf16 version adds at the Pallas boundaries.
+    # At 1024px-scale sides the f32 intermediates are 0.5GB each and the
+    # trade flips to pure HBM traffic; perf.vjp_chain_bf16_min_side
+    # switches the chain to the primal dtype at large sides.
+    from ml_mdm_tpu.perf import perf
+
+    _ms = perf().vjp_chain_bf16_min_side
+    cd = (
+        x.dtype
+        if (_ms > 0 and min(x.shape[1], x.shape[2]) >= _ms)
+        else jnp.float32
+    )
     a_c = a.astype(cd)[:, None, None, :]
     b_c = b.astype(cd)[:, None, None, :]
     v = x.astype(cd) * a_c + b_c

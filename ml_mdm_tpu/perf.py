@@ -23,6 +23,7 @@ see docs/performance.md for the numbers behind each default):
 | pack_max_ch (ML_MDM_TPU_PACK_MAX_CH)           | 64      | maximum channel count eligible for packing (=32 restores the pre-struct-tap gate). |
 | wcache (ML_MDM_TPU_WCACHE)                     | auto    | hoist packed-weight transforms out of denoise scans (Model.build_wcache). auto = on for sides >= 256; 1 forces on; 0 off. |
 | gn_kernel (ML_MDM_TPU_GN_KERNEL)               | auto    | Pallas streaming GroupNorm-stats kernel (ops/gn_stats). Same values as fused. |
+| vjp_chain_bf16_min_side (ML_MDM_TPU_VJP_CHAIN_BF16_MIN_SIDE) | 0 | fused-train backward: compute the silu/affine gradient chain in the primal dtype (bf16) instead of f32 for tensors with spatial side >= this (0 = always f32; f32 measured faster at <=256px sides, but at 1024px-scale the f32 intermediates are 0.5GB of pure HBM traffic each). |
 | flash (ML_MDM_TPU_FLASH)                       | 0       | route attention through jax's pipelined flash kernel (opt-in for long sequences; measured slower at this model's L<=1024). |
 | bf16_logits (ML_MDM_TPU_BF16_LOGITS)           | 1       | store attention logits in bf16 under bf16 compute (f32 MXU accumulation unchanged). |
 
@@ -48,6 +49,7 @@ class PerfConfig:
     pack_max_ch: int = 64
     wcache: str = "auto"
     gn_kernel: str = "auto"
+    vjp_chain_bf16_min_side: int = 0
     flash: bool = False
     bf16_logits: bool = True
 
@@ -83,6 +85,12 @@ def perf() -> PerfConfig:
         ),
         wcache=_mode("ML_MDM_TPU_WCACHE", d.wcache),
         gn_kernel=_mode("ML_MDM_TPU_GN_KERNEL", d.gn_kernel),
+        vjp_chain_bf16_min_side=int(
+            os.environ.get(
+                "ML_MDM_TPU_VJP_CHAIN_BF16_MIN_SIDE",
+                d.vjp_chain_bf16_min_side,
+            )
+        ),
         flash=os.environ.get("ML_MDM_TPU_FLASH", "0") == "1",
         bf16_logits=os.environ.get("ML_MDM_TPU_BF16_LOGITS", "1") != "0",
     )

@@ -340,7 +340,16 @@ class Sampler:
         return eps, g, g_last, weights, time
 
     def get_xt(self, images, eps, g):
-        return jnp.sqrt(g) * images + jnp.sqrt(1.0 - g) * eps
+        # coefficients in f32 (gammas are f32), applied in the image
+        # dtype: under bf16 training the whole x_t chain would otherwise
+        # promote to f32 — at 1024² that is pure extra HBM traffic on
+        # every loss evaluation (profiled r5: the f32 boundary chains
+        # were ~12% of the train step). f32 images are bit-identical.
+        dt = images.dtype
+        return (
+            jnp.sqrt(g).astype(dt) * images
+            + jnp.sqrt(1.0 - g).astype(dt) * eps
+        )
 
     def get_image_rescaled(self, images, scale_factor=None):
         if scale_factor is None:
@@ -356,7 +365,11 @@ class Sampler:
         if pt in (PredictionType.DDPM, PredictionType.DDIM):
             return eps
         if pt == PredictionType.V_PREDICTION:
-            return jnp.sqrt(g) * eps - jnp.sqrt(1.0 - g) * images
+            dt = images.dtype
+            return (
+                jnp.sqrt(g).astype(dt) * eps
+                - jnp.sqrt(1.0 - g).astype(dt) * images
+            )
         raise ValueError(f"Unsupported prediction type {pt}")
 
     # -- inference-side -----------------------------------------------------
