@@ -18,6 +18,7 @@ running eager torch diffusion at a typical 25% MFU sustains 78 TF/s
 from __future__ import annotations
 
 import json
+import os
 import time
 
 
@@ -250,12 +251,14 @@ def sample_1024(batch: int = 4, steps: int = 250):
     )
     mask = jnp.ones((batch, 32), jnp.bfloat16)
 
+    chunk = int(os.environ.get("BENCH_CHUNK_STEPS", "25"))
+
     def run(k):
         s = {"lm_outputs": lm, "lm_mask": mask}
         return pipeline.sample_chunked(
             params, batch, s, 1024, k,
             num_inference_steps=steps, resample_steps=True, ddim_eta=1.0,
-            chunk_steps=25, noise_dtype=jnp.bfloat16,
+            chunk_steps=chunk, noise_dtype=jnp.bfloat16,
         )
 
     out = run(jax.random.PRNGKey(2))

@@ -494,9 +494,27 @@ class NestedDiffusion(Diffusion):
         istime = [False] + list(self.vision_module.is_temporal) \
             if hasattr(self.vision_module, "is_temporal") else [False] * len(scales)
 
+        # hi-res level in the FLAT packed (B, H/2, (W/2)*4C) form for the
+        # whole loss boundary, mirroring the sampling carry (_pack_hi):
+        # the packed NHWC tensor's thin trailing dim pads to 128 lanes in
+        # XLA tiled layouts (10.7x physical bytes at 12 channels), so the
+        # x_t build, the loss diff and their backward all paid 10.7x HBM
+        # traffic — and the model-side pack/unpack transposes ran at
+        # 1024² every step (fwd AND bwd). Here images pack once, eps is
+        # drawn directly in flat form (iid normals — any arrangement is
+        # distributionally identical), and the packed NHWC view exists
+        # only at the model boundary. MSE is permutation-invariant, so
+        # the loss is the same quantity as the unpacked computation.
+        packed0 = train and self._packed_io(images.shape[1])
+        img0 = images
+        if packed0:
+            from ml_mdm_tpu.samplers import _pack_hi
+
+            img0 = _pack_hi(images)
+
         k_et, k_renoise, k_drop = jax.random.split(key, 3)
         eps, g, g_last, weights, time = self.sampler.get_eps_time(
-            k_et, images
+            k_et, img0
         )
         if not self._config.use_vdm_loss_weights:
             weights = None
@@ -529,9 +547,14 @@ class NestedDiffusion(Diffusion):
                 x = avg_pool_nhwc(x, rr)
             _images.append(x)
         images_list = _images
+        images_list[0] = img0
 
-        g_list = self.sampler.get_gammas(g, scales)
-        g_last_list = self.sampler.get_gammas(g_last, scales)
+        g_list = list(self.sampler.get_gammas(g, scales))
+        g_last_list = list(self.sampler.get_gammas(g_last, scales))
+        if packed0:
+            # rank-3 broadcast shape for the flat level-0 tensors
+            g_list[0] = g_list[0][..., 0]
+            g_last_list[0] = g_last_list[0][..., 0]
 
         renoise_keys = jax.random.split(k_renoise, len(images_list))
         eps_list = [eps] + [
@@ -540,10 +563,19 @@ class NestedDiffusion(Diffusion):
         ]
 
         x_t = self.sampler.get_xt(images_list, eps_list, g_list, scales)
+        xs_in = list(x_t)
+        if packed0:
+            b0, h0, wc0 = xs_in[0].shape
+            xs_in[0] = xs_in[0].reshape(b0, h0, h0, wc0 // h0)
         p_t = self.model(
-            params, x_t, time, lm_outputs, lm_mask, micros, train=train,
+            params, xs_in, time, lm_outputs, lm_mask, micros, train=train,
             mixed_ratio=self.mixed_ratio, dropout_rng=k_drop,
+            packed_io=packed0,
         )
+        if packed0:
+            p_t = [
+                p_t[0].reshape(p_t[0].shape[0], h0, wc0)
+            ] + list(p_t[1:])
 
         tgt = self.sampler.get_prediction_targets(
             images_list, eps_list, g_list, g_last_list, scales,
@@ -567,7 +599,8 @@ class NestedDiffusion(Diffusion):
             if i == 0 or self._config.use_double_loss:
                 loss_i = jnp.mean(
                     jnp.square(pred[i] - tgt[i]),
-                    axis=(1, 2, 3), dtype=jnp.float32,
+                    axis=tuple(range(1, pred[i].ndim)),
+                    dtype=jnp.float32,
                 )
                 if self.mixed_ratio is not None:
                     loss_i = loss_i / self.mixed_ratio[i]

@@ -1101,3 +1101,135 @@ def test_packed_training_loss_parity_and_grad_flow(monkeypatch):
     # gradient flow: after the zero-init cascade, most leaves update
     assert unchanged_p == unchanged_u
     assert unchanged_p <= n // 4, (unchanged_p, n)
+
+
+def test_packed_io_train_forward_parity():
+    """packed_io=True in TRAIN mode (the r5 packed-boundary training
+    loss keeps the hi-res level space-to-depth packed across the whole
+    loss computation) == the plain NHWC train forward, same params."""
+    from ml_mdm_tpu.models.layers import ResNetConfig
+    from ml_mdm_tpu.models.nested_unet import NestedUNet, NestedUNetConfig
+    from ml_mdm_tpu.models.unet import UNetConfig
+
+    inner = dict(
+        resolution_channels=[16, 32],
+        num_resnets_per_resolution=[1, 1],
+        attention_levels=[1],
+        num_attention_layers=[0, 1],
+        conditioning_feature_dim=16,
+        masked_cross_attention=0,
+        nesting=True,
+        resnet_config=ResNetConfig(num_groups_norm=4, dropout=0.0,
+                                   use_attention_ffn=False),
+    )
+    outer = dict(
+        resolution_channels=[8, 8, 16],
+        num_resnets_per_resolution=[2, 2, 1],
+        attention_levels=[],
+        num_attention_layers=[0, 0, 0],
+        conditioning_feature_dim=16,
+        num_lm_head_layers=0,
+        masked_cross_attention=0,
+        skip_mid_blocks=True,
+        skip_cond_emb=True,
+        skip_normalization=True,
+        temporal_dim=64,
+        resnet_config=ResNetConfig(num_groups_norm=4, dropout=0.0,
+                                   use_attention_ffn=False),
+    )
+    m = NestedUNet(3, 3, NestedUNetConfig(
+        pack_min_side=16,
+        inner_config=UNetConfig(pack_min_side=16, **inner), **outer))
+    b, side = 2, 64
+    xs = [
+        jax.random.normal(jax.random.PRNGKey(0), (b, side, side, 3)),
+        jax.random.normal(jax.random.PRNGKey(1),
+                          (b, side // 4, side // 4, 3)),
+    ]
+    t = jnp.asarray([3, 7], jnp.int32)
+    lm = jax.random.normal(jax.random.PRNGKey(2), (b, 4, 16))
+    mask = jnp.ones((b, 4))
+    params = jax.jit(m.init)(jax.random.PRNGKey(3), xs, t, lm, mask, {})[
+        "params"]
+    assert m.packs_input(side)
+    refs = m.apply({"params": params}, xs, t, lm, mask, {}, train=True)
+    xs_p = [s2d.space_to_depth(xs[0])] + xs[1:]
+    outs = m.apply({"params": params}, xs_p, t, lm, mask, {},
+                   train=True, packed_io=True)
+    outs = [s2d.depth_to_space(outs[0])] + list(outs[1:])
+    for r, o in zip(refs, outs):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_packed_boundary_train_loss():
+    """NestedDiffusion.get_loss with the flat packed level-0 boundary
+    (train=True on a packing architecture): finite loss, gradients flow
+    to every parameter family, and the loss magnitude matches the
+    unpacked computation statistically (same model, same conditioning,
+    different-but-iid eps draw)."""
+    from ml_mdm_tpu.diffusion import NestedDiffusion, NestedDiffusionConfig
+    from ml_mdm_tpu.models.layers import ResNetConfig
+    from ml_mdm_tpu.models.nested_unet import NestedUNet, NestedUNetConfig
+    from ml_mdm_tpu.models.unet import UNetConfig
+    from ml_mdm_tpu.samplers import SamplerConfig
+
+    inner = dict(
+        resolution_channels=[16, 32],
+        num_resnets_per_resolution=[1, 1],
+        attention_levels=[1],
+        num_attention_layers=[0, 1],
+        conditioning_feature_dim=16,
+        masked_cross_attention=0,
+        nesting=True,
+        resnet_config=ResNetConfig(num_groups_norm=4, dropout=0.0),
+    )
+    outer = dict(
+        resolution_channels=[8, 8, 16],
+        num_resnets_per_resolution=[2, 2, 1],
+        attention_levels=[],
+        num_attention_layers=[0, 0, 0],
+        conditioning_feature_dim=16,
+        num_lm_head_layers=0,
+        masked_cross_attention=0,
+        skip_mid_blocks=True,
+        skip_cond_emb=True,
+        skip_normalization=True,
+        temporal_dim=64,
+        resnet_config=ResNetConfig(num_groups_norm=4, dropout=0.0),
+    )
+
+    def mk(ps):
+        mod = NestedUNet(3, 3, NestedUNetConfig(
+            pack_min_side=ps,
+            inner_config=UNetConfig(pack_min_side=ps, **inner), **outer))
+        return NestedDiffusion(mod, NestedDiffusionConfig(
+            sampler_config=SamplerConfig(num_diffusion_steps=8),
+            no_use_residual=True, use_double_loss=True))
+
+    pipe_p, pipe_u = mk(16), mk(0)
+    params = pipe_p.init_params(
+        jax.random.PRNGKey(0), image_side=32, lm_dim=16, seq_len=4)
+    lm = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 16))
+    batch = {
+        "images": jax.random.normal(jax.random.PRNGKey(2), (2, 32, 32, 3)),
+        "lm_outputs": lm, "lm_mask": jnp.ones((2, 4)),
+    }
+    assert pipe_p._packed_io(32)
+
+    def loss_of(pipe):
+        def f(p):
+            losses, *_ = pipe.get_loss(p, batch, jax.random.PRNGKey(3),
+                                       train=True)
+            return losses.mean()
+        return f
+
+    lp, gp = jax.value_and_grad(loss_of(pipe_p))(params)
+    lu = loss_of(pipe_u)(params)
+    assert np.isfinite(float(lp)) and np.isfinite(float(lu))
+    # same distribution (untrained model, eps-target loss ~ O(1));
+    # different iid draws, so loose band only
+    assert 0.2 < float(lp) / float(lu) < 5.0, (lp, lu)
+    gnorm = sum(float(jnp.sum(jnp.square(g)))
+                for g in jax.tree_util.tree_leaves(gp))
+    assert np.isfinite(gnorm) and gnorm > 0

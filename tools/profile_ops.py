@@ -106,6 +106,19 @@ def profile_fn(thunk, top: int = 30, warmup: bool = True):
         for cat, dur in cats.most_common():
             print(f"   {dur/1e6:10.3f} ms {100.0*dur/max(total,1):5.1f}%"
                   f"  {cat}")
+    # by output-shape attribution: 'bf16[2,512,512,256]' style keys let
+    # HBM-bound elementwise mass be pinned to specific activations
+    shape_re = re.compile(r"=\s*\(?((?:bf16|f32|f16|s32|u32|pred)\[[^\]]*\])")
+    by_shape = collections.Counter()
+    for line_name, agg0 in by_line.items():
+        if line_name != "XLA Ops":
+            continue
+        for name, dur in agg0.items():
+            m = shape_re.search(name)
+            by_shape[m.group(1) if m else "?"] += dur
+    print("\nby output shape (XLA Ops):")
+    for shp, dur in by_shape.most_common(20):
+        print(f"{dur/1e6:10.3f} ms  {shp}")
     ops_line = None
     for line_name in by_line:
         if line_name == "XLA Ops":
